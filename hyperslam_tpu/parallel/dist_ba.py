@@ -1,0 +1,102 @@
+"""Distributed bundle adjustment — factor-sharded reduction over a device mesh.
+
+The reference has no distribution (single-process ROS + 1-thread Ceres —
+SURVEY.md §2.4); this module adds the TPU-native scaling story: factors are
+sharded across chips along the batch axis, each chip linearizes its shard and
+assembles local normal-equation blocks (dense matmuls on its MXU), then one
+``psum`` over the ICI mesh produces the replicated reduced system
+(H, g, Hll, gl, W).  The small Schur solve runs replicated; deltas are
+identical on every chip, so the parameter update needs no further
+communication.  This is the classic distributed Schur-complement BA pattern
+(reduce-then-solve), with communication O(D^2 + L·D·3) independent of the
+number of factors.
+
+Works on any ``jax.sharding.Mesh`` — virtual CPU devices in tests
+(``--xla_force_host_platform_device_count``), real TPU slices in production.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..solver import ba
+from ..solver.problem import (CameraCalib, Factors, ImuCalib, Masks, Params,
+                              SolverConfig)
+
+__all__ = ["distributed_optimize", "shard_factors"]
+
+AXIS = "factors"
+
+
+def shard_factors(factors: Factors, mesh: Mesh) -> Factors:
+    """Place factor arrays sharded along their leading (capacity) axis.
+
+    Capacities must be divisible by the mesh size — pad capacities up when
+    building the window (they are static anyway)."""
+    sharding = NamedSharding(mesh, P(AXIS))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), factors)
+
+
+def _replicate(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "mesh"))
+def distributed_optimize(params: Params, cams: CameraCalib, imu: ImuCalib,
+                         factors: Factors, masks: Masks, cfg: SolverConfig,
+                         dt, bias_dt, mesh: Mesh):
+    """LM loop with factor-sharded linearization + psum-reduced solve.
+
+    Semantically identical to ``ba.optimize`` (same fixed iteration count,
+    damping and acceptance rule); only the reduction is distributed."""
+    L = params.num_landmarks
+    dtype = params.knots.dtype
+
+    fspec = jax.tree.map(lambda _: P(AXIS), factors)
+    rep = P()
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(rep, rep, rep, fspec, rep),
+        out_specs=(rep, rep, rep, rep, rep))
+    def reduce_shard(p, c, i, f, m):
+        sys = ba.linearize(p, c, i, f, m, cfg, dt, bias_dt)
+        H, g, Hll, gl, W = ba.reduce_system(sys, L)
+        return tuple(jax.lax.psum(x, AXIS) for x in (H, g, Hll, gl, W))
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(rep, rep, rep, fspec),
+        out_specs=rep)
+    def cost_shard(p, c, i, f):
+        return jax.lax.psum(
+            ba.compute_cost(p, c, i, f, cfg, dt, bias_dt), AXIS)
+
+    cost0 = cost_shard(params, cams, imu, factors)
+
+    def body(carry, _):
+        p, lam, cost = carry
+        H, g, Hll, gl, W = reduce_shard(p, cams, imu, factors, masks)
+        dp, dl = ba.solve_reduced(H, g, Hll, gl, W, masks, lam, cfg)
+        trial = ba.apply_delta(p, dp, dl, masks, cfg)
+        trial_cost = cost_shard(trial, cams, imu, factors)
+        accept = trial_cost < cost
+        p_next = jax.tree.map(lambda a, b: jnp.where(accept, a, b), trial, p)
+        cost_next = jnp.where(accept, trial_cost, cost)
+        lam_next = jnp.clip(
+            jnp.where(accept, lam * cfg.lambda_down, lam * cfg.lambda_up),
+            1e-10, 1e6)
+        return (p_next, lam_next, cost_next), accept
+
+    init = (params, jnp.asarray(cfg.init_lambda, dtype), cost0)
+    (p_fin, lam_fin, cost_fin), accepted = jax.lax.scan(
+        body, init, None, length=cfg.max_iterations)
+    return p_fin, ba.SolveStats(
+        initial_cost=cost0, final_cost=cost_fin, lambda_final=lam_fin,
+        accepted=accepted)

@@ -1,0 +1,421 @@
+"""Batched Levenberg-Marquardt with Schur-complement landmark elimination.
+
+This module replaces the reference's entire Ceres backend
+(``/root/reference/internal/hyper/optimizers/ceres/optimizer.cpp`` +
+``costs/exteroceptive.cpp``; SURVEY.md §3.4) with a TPU-native design:
+
+- Every residual of a type is linearized by one **vmapped forward-mode
+  autodiff** evaluation (no virtual evaluators, no per-residual layouts).
+- Per-factor Jacobian blocks are scattered into **dense rows** of the reduced
+  tangent space, so all normal-equation products are plain matmuls on the MXU.
+- Landmarks are eliminated with a **batched 3x3 Schur complement**
+  (block-diagonal inverses, one einsum), leaving a small dense reduced system
+  solved by Cholesky on-device.
+- Robustification (Huber / scaled losses, same constants as the reference)
+  enters via IRLS sqrt-weights.
+- The LM loop runs a fixed ``max_iterations`` (reference: 5,
+  ``ceres/optimizer.cpp:40``) with accept/reject trust-region damping under
+  ``lax``-friendly control flow — fully jittable, static shapes throughout.
+
+Frozen parameters (old knots, inactive landmark slots, fixed gravity) are
+handled by zeroing their Jacobian columns and placing 1s on the corresponding
+normal-equation diagonal — the masked-tensor equivalent of the reference's
+``SetParameterBlockConstant`` (``ceres/optimizer.cpp:322-328``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..factors import losses
+from ..factors import residuals as res
+from ..state import bspline
+from ..variables import s2
+from .problem import (CameraCalib, Factors, ImuCalib, Masks, Params,
+                      SolverConfig, layout_dims)
+
+__all__ = ["linearize", "solve_normal_equations", "apply_delta",
+           "compute_cost", "optimize", "LinearSystem", "SolveStats"]
+
+
+class LinearSystem(NamedTuple):
+    """Stacked weighted rows of the window's linearized problem."""
+    J: jnp.ndarray        # (R, D) dense reduced-parameter Jacobian rows
+    r: jnp.ndarray        # (R,) weighted residuals
+    J_lm: jnp.ndarray     # (R, 3) landmark Jacobian rows
+    lm_idx: jnp.ndarray   # (R,) landmark slot per row (0 for non-landmark rows,
+                          #      whose J_lm rows are zero)
+
+
+class SolveStats(NamedTuple):
+    initial_cost: jnp.ndarray
+    final_cost: jnp.ndarray
+    lambda_final: jnp.ndarray
+    accepted: jnp.ndarray  # (iters,) bool
+
+
+def _col_mask(masks: Masks, K, Kb, dtype):
+    D, off_bg, off_ba, off_g = layout_dims(K, Kb)
+    return jnp.concatenate([
+        jnp.repeat(masks.knots.astype(dtype), 6),
+        jnp.repeat(masks.bias.astype(dtype), 3),
+        jnp.repeat(masks.bias.astype(dtype), 3),
+        jnp.full((2,), masks.gravity, dtype),
+    ])
+
+
+def _dense_row(J_block, cols, D):
+    """J_block (m, W), cols (W,) int -> (m, D) dense rows."""
+    m = J_block.shape[0]
+    return jnp.zeros((m, D), J_block.dtype).at[:, cols].set(J_block)
+
+
+def _knot_cols(s):
+    return 6 * s + jnp.arange(24)
+
+
+def _linearize_bearing(params: Params, calib: CameraCalib, f, cfg: SolverConfig):
+    K, Kb = params.num_knots, params.num_bias_knots
+    D, *_ = layout_dims(K, Kb)
+    dtype = params.knots.dtype
+    order = cfg.order
+
+    def one(s, u, cam_i, lm_i, meas, active):
+        ctrl = bspline.gather_support(params.knots, s, order)
+        T_bs = calib.T_bs[cam_i]
+        lm = params.landmarks[lm_i]
+
+        def g(dk, dl):
+            c = res.retract_pose_knots(ctrl, dk.reshape(order, 6))
+            return res.bearing_residual(c, u, T_bs, lm + dl, meas)
+
+        zk = jnp.zeros(order * 6, dtype)
+        zl = jnp.zeros(3, dtype)
+        r_raw = g(zk, zl)
+        Jk, Jl = jax.jacfwd(g, argnums=(0, 1))(zk, zl)
+        # Robust weight in RAW residual units (the reference's Huber delta is
+        # on the metric distance itself, ceres/optimizer.cpp:189-210); the
+        # information weight scales residual and Jacobian afterwards.
+        w = losses.huber_weight(jnp.sum(r_raw * r_raw), cfg.bearing_huber)
+        sw = jnp.sqrt(w) * cfg.bearing_sqrt_info * active
+        Jp = _dense_row(Jk, _knot_cols(s), D)
+        return r_raw * sw, Jp * sw, Jl * sw, lm_i
+
+    r, Jp, Jl, lm_i = jax.vmap(one)(f.s, f.u, f.cam, f.lm, f.meas, f.active)
+    m = r.shape[-1]
+    return LinearSystem(
+        J=Jp.reshape(-1, D), r=r.reshape(-1), J_lm=Jl.reshape(-1, 3),
+        lm_idx=jnp.repeat(lm_i, m))
+
+
+def _linearize_pixel(params: Params, calib: CameraCalib, f, cfg: SolverConfig):
+    K, Kb = params.num_knots, params.num_bias_knots
+    D, *_ = layout_dims(K, Kb)
+    dtype = params.knots.dtype
+    order = cfg.order
+
+    def one(s, u, cam_i, lm_i, meas, active):
+        ctrl = bspline.gather_support(params.knots, s, order)
+        T_bs = calib.T_bs[cam_i]
+        intr = calib.intrinsics[cam_i]
+        dist = calib.distortion[cam_i]
+        lm = params.landmarks[lm_i]
+
+        def g(dk, dl):
+            c = res.retract_pose_knots(ctrl, dk.reshape(order, 6))
+            return res.pixel_residual(c, u, T_bs, intr, dist, lm + dl, meas)
+
+        zk = jnp.zeros(order * 6, dtype)
+        zl = jnp.zeros(3, dtype)
+        r_raw = g(zk, zl)
+        Jk, Jl = jax.jacfwd(g, argnums=(0, 1))(zk, zl)
+        w = losses.huber_weight(jnp.sum(r_raw * r_raw), cfg.pixel_huber)
+        sw = jnp.sqrt(w) * cfg.pixel_sqrt_info * active
+        Jp = _dense_row(Jk, _knot_cols(s), D)
+        return r_raw * sw, Jp * sw, Jl * sw, lm_i
+
+    r, Jp, Jl, lm_i = jax.vmap(one)(f.s, f.u, f.cam, f.lm, f.meas, f.active)
+    m = r.shape[-1]
+    return LinearSystem(
+        J=Jp.reshape(-1, D), r=r.reshape(-1), J_lm=Jl.reshape(-1, 3),
+        lm_idx=jnp.repeat(lm_i, m))
+
+
+def _linearize_prior(params: Params, f, cfg: SolverConfig):
+    K, Kb = params.num_knots, params.num_bias_knots
+    D, *_ = layout_dims(K, Kb)
+    dtype = params.knots.dtype
+    order = cfg.order
+    T_bs_id = jnp.zeros(7, dtype).at[0].set(1.0)
+
+    def one(s, u, meas, active):
+        ctrl = bspline.gather_support(params.knots, s, order)
+
+        def g(dk):
+            c = res.retract_pose_knots(ctrl, dk.reshape(order, 6))
+            return res.pose_prior_residual(c, u, T_bs_id, meas)
+
+        zk = jnp.zeros(order * 6, dtype)
+        r = g(zk) * cfg.prior_sqrt_info
+        Jk = jax.jacfwd(g)(zk)
+        sw = active  # no robust loss on priors (reference: no loss)
+        Jp = _dense_row(Jk * cfg.prior_sqrt_info, _knot_cols(s), D)
+        return r * sw, Jp * sw
+
+    r, Jp = jax.vmap(one)(f.s, f.u, f.meas, f.active)
+    m = r.shape[-1]
+    R = r.size
+    return LinearSystem(
+        J=Jp.reshape(-1, D), r=r.reshape(-1),
+        J_lm=jnp.zeros((R, 3), dtype), lm_idx=jnp.zeros(R, jnp.int32))
+
+
+def _linearize_inertial(params: Params, imu: ImuCalib, f, cfg: SolverConfig,
+                        dt, bias_dt):
+    K, Kb = params.num_knots, params.num_bias_knots
+    D, off_bg, off_ba, off_g = layout_dims(K, Kb)
+    dtype = params.knots.dtype
+    order, border = cfg.order, cfg.bias_order
+    # Per-axis sqrt-information: [gyro x3, accel x3].
+    sinfo = jnp.concatenate([
+        jnp.full((3,), cfg.gyro_sqrt_info, dtype),
+        jnp.full((3,), cfg.accel_sqrt_info, dtype)])
+    sq_scale = jnp.sqrt(jnp.asarray(cfg.inertial_scale, dtype))
+
+    def one(s, u, bs, bu, meas, active):
+        ctrl = bspline.gather_support(params.knots, s, order)
+        bg_ctrl = bspline.gather_support(params.bias_g, bs, border)
+        ba_ctrl = bspline.gather_support(params.bias_a, bs, border)
+
+        def g(dk, dbg, dba, dgr):
+            c = res.retract_pose_knots(ctrl, dk.reshape(order, 6))
+            bg = bspline.interp_euclidean(
+                bg_ctrl + dbg.reshape(border, 3), bu, border)
+            ba = bspline.interp_euclidean(
+                ba_ctrl + dba.reshape(border, 3), bu, border)
+            grav = s2.retract(params.gravity, dgr, norm=s2.GRAVITY_NORM)
+            return res.inertial_residual(
+                c, u, dt, bg, ba, imu.T_bs, grav,
+                imu.gyro_intrinsics, imu.accel_intrinsics,
+                imu.g_sensitivity, imu.lever_arm, meas) * sinfo
+
+        zk = jnp.zeros(order * 6, dtype)
+        zb = jnp.zeros(border * 3, dtype)
+        zg = jnp.zeros(2, dtype)
+        r = g(zk, zb, zb, zg)
+        Jk, Jbg, Jba, Jg = jax.jacfwd(g, argnums=(0, 1, 2, 3))(zk, zb, zb, zg)
+        # Reference: ScaledLoss(1.6e-5) on inertial residuals.
+        sw = sq_scale * active
+        Jp = _dense_row(Jk, _knot_cols(s), D)
+        bg_cols = off_bg + 3 * bs + jnp.arange(border * 3)
+        ba_cols = off_ba + 3 * bs + jnp.arange(border * 3)
+        Jp = Jp.at[:, bg_cols].set(Jbg)
+        Jp = Jp.at[:, ba_cols].set(Jba)
+        Jp = Jp.at[:, off_g:off_g + 2].set(Jg)
+        return r * sw, Jp * sw
+
+    r, Jp = jax.vmap(one)(f.s, f.u, f.bias_s, f.bias_u, f.meas, f.active)
+    R = r.size
+    return LinearSystem(
+        J=Jp.reshape(-1, D), r=r.reshape(-1),
+        J_lm=jnp.zeros((R, 3), dtype), lm_idx=jnp.zeros(R, jnp.int32))
+
+
+def linearize(params: Params, cams: CameraCalib, imu: ImuCalib,
+              factors: Factors, masks: Masks, cfg: SolverConfig,
+              dt, bias_dt) -> LinearSystem:
+    """Linearize every factor type and stack into one weighted row system."""
+    K, Kb = params.num_knots, params.num_bias_knots
+    dtype = params.knots.dtype
+    systems = []
+    if factors.bearing.s.shape[0]:
+        systems.append(_linearize_bearing(params, cams, factors.bearing, cfg))
+    if factors.pixel.s.shape[0]:
+        systems.append(_linearize_pixel(params, cams, factors.pixel, cfg))
+    if factors.inertial.s.shape[0]:
+        systems.append(
+            _linearize_inertial(params, imu, factors.inertial, cfg, dt,
+                                bias_dt))
+    if factors.prior.s.shape[0]:
+        systems.append(_linearize_prior(params, factors.prior, cfg))
+    J = jnp.concatenate([s.J for s in systems], 0)
+    r = jnp.concatenate([s.r for s in systems], 0)
+    J_lm = jnp.concatenate([s.J_lm for s in systems], 0)
+    lm_idx = jnp.concatenate([s.lm_idx for s in systems], 0)
+    # Freeze columns (old knots / fixed gravity / fixed biases).
+    cm = _col_mask(masks, K, Kb, dtype)
+    J = J * cm[None, :]
+    J_lm = J_lm * masks.landmarks.astype(dtype)[lm_idx][:, None]
+    return LinearSystem(J=J, r=r, J_lm=J_lm, lm_idx=lm_idx)
+
+
+def reduce_system(sys: LinearSystem, num_landmarks: int):
+    """Normal-equation blocks from weighted rows: (H, g, Hll, gl, W).
+
+    All five are plain sums over rows, so a factor-sharded multi-chip solve
+    computes them locally and ``psum``s the results (parallel/dist_ba.py).
+    """
+    J, r, Jl, li = sys
+    L = num_landmarks
+    H = J.T @ J                       # (D, D) — MXU matmul
+    g = J.T @ r
+    Hll = jax.ops.segment_sum(Jl[:, :, None] * Jl[:, None, :], li, L)
+    gl = jax.ops.segment_sum(Jl * r[:, None], li, L)
+    W = jax.ops.segment_sum(J[:, :, None] * Jl[:, None, :], li, L)  # (L, D, 3)
+    return H, g, Hll, gl, W
+
+
+def solve_reduced(H, g, Hll, gl, W, masks: Masks, lam, cfg: SolverConfig):
+    """Schur-eliminate landmarks from assembled blocks and solve.
+
+    Returns (delta_p (D,), delta_lm (L, 3))."""
+    dtype = H.dtype
+    lmfree = masks.landmarks.astype(dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    Hll = Hll + (cfg.landmark_jitter + (1.0 - lmfree))[:, None, None] * eye3
+    Hll_inv = jnp.linalg.inv(Hll)
+
+    S = H - jnp.einsum("ldi,lij,lej->de", W, Hll_inv, W)
+    gs = g - jnp.einsum("ldi,lij,lj->d", W, Hll_inv, gl)
+
+    # Damping + frozen-column identity, then dense Cholesky.
+    cm = jnp.clip(jnp.diagonal(H), 0.0, None) > 0.0
+    diag = jnp.diagonal(S)
+    S = S + jnp.diag(lam * diag + 1e-8 + (1.0 - cm.astype(dtype)))
+    # Jacobi scaling for f32 conditioning.
+    d = 1.0 / jnp.sqrt(jnp.clip(jnp.diagonal(S), 1e-12, None))
+    Ss = S * d[:, None] * d[None, :]
+    c, lower = jax.scipy.linalg.cho_factor(Ss, lower=True)
+    dp = -d * jax.scipy.linalg.cho_solve((c, lower), d * gs)
+
+    dl = -jnp.einsum("lij,lj->li", Hll_inv,
+                     gl + jnp.einsum("ldi,d->li", W, dp))
+    return dp, dl
+
+
+def solve_normal_equations(sys: LinearSystem, masks: Masks, lam,
+                           num_landmarks: int, cfg: SolverConfig):
+    """Single-chip path: reduce rows, Schur-eliminate, solve."""
+    H, g, Hll, gl, W = reduce_system(sys, num_landmarks)
+    return solve_reduced(H, g, Hll, gl, W, masks, lam, cfg)
+
+
+def apply_delta(params: Params, dp, dl, masks: Masks, cfg: SolverConfig):
+    K, Kb = params.num_knots, params.num_bias_knots
+    D, off_bg, off_ba, off_g = layout_dims(K, Kb)
+    dtype = params.knots.dtype
+    dk = dp[: K * 6].reshape(K, 6)
+    dbg = dp[off_bg:off_ba].reshape(Kb, 3)
+    dba = dp[off_ba:off_g].reshape(Kb, 3)
+    dgr = dp[off_g:off_g + 2]
+    return params.replace(
+        knots=res.retract_pose_knots(params.knots, dk),
+        bias_g=params.bias_g + dbg,
+        bias_a=params.bias_a + dba,
+        gravity=s2.retract(params.gravity, dgr, norm=s2.GRAVITY_NORM),
+        landmarks=params.landmarks + dl * masks.landmarks.astype(dtype)[:, None],
+    )
+
+
+def _rho_huber(s, delta):
+    return jnp.where(s <= delta * delta, s, 2.0 * delta * jnp.sqrt(
+        jnp.maximum(s, 1e-24)) - delta * delta)
+
+
+def compute_cost(params: Params, cams: CameraCalib, imu: ImuCalib,
+                 factors: Factors, cfg: SolverConfig, dt, bias_dt):
+    """Total robustified cost — cheap (no Jacobians), used for LM accept."""
+    order, border = cfg.order, cfg.bias_order
+    dtype = params.knots.dtype
+    total = jnp.zeros((), dtype)
+
+    if factors.bearing.s.shape[0]:
+        f = factors.bearing
+        def rb(s, u, c, l, m):
+            ctrl = bspline.gather_support(params.knots, s, order)
+            return res.bearing_residual(
+                ctrl, u, cams.T_bs[c], params.landmarks[l], m)
+        r = jax.vmap(rb)(f.s, f.u, f.cam, f.lm, f.meas)
+        s2n = jnp.sum(r * r, -1)
+        total += cfg.bearing_sqrt_info ** 2 * jnp.sum(
+            _rho_huber(s2n, cfg.bearing_huber) * f.active)
+
+    if factors.pixel.s.shape[0]:
+        f = factors.pixel
+        def rp(s, u, c, l, m):
+            ctrl = bspline.gather_support(params.knots, s, order)
+            return res.pixel_residual(
+                ctrl, u, cams.T_bs[c], cams.intrinsics[c], cams.distortion[c],
+                params.landmarks[l], m)
+        r = jax.vmap(rp)(f.s, f.u, f.cam, f.lm, f.meas)
+        s2n = jnp.sum(r * r, -1)
+        total += cfg.pixel_sqrt_info ** 2 * jnp.sum(
+            _rho_huber(s2n, cfg.pixel_huber) * f.active)
+
+    if factors.inertial.s.shape[0]:
+        f = factors.inertial
+        sinfo = jnp.concatenate([
+            jnp.full((3,), cfg.gyro_sqrt_info, dtype),
+            jnp.full((3,), cfg.accel_sqrt_info, dtype)])
+        def ri(s, u, bs, bu, m):
+            ctrl = bspline.gather_support(params.knots, s, order)
+            bg = bspline.interp_euclidean(
+                bspline.gather_support(params.bias_g, bs, border), bu, border)
+            ba = bspline.interp_euclidean(
+                bspline.gather_support(params.bias_a, bs, border), bu, border)
+            return res.inertial_residual(
+                ctrl, u, dt, bg, ba, imu.T_bs, params.gravity,
+                imu.gyro_intrinsics, imu.accel_intrinsics, imu.g_sensitivity,
+                imu.lever_arm, m) * sinfo
+        r = jax.vmap(ri)(f.s, f.u, f.bias_s, f.bias_u, f.meas)
+        total += cfg.inertial_scale * jnp.sum(jnp.sum(r * r, -1) * f.active)
+
+    if factors.prior.s.shape[0]:
+        f = factors.prior
+        T_bs_id = jnp.zeros(7, dtype).at[0].set(1.0)
+        def rr(s, u, m):
+            ctrl = bspline.gather_support(params.knots, s, order)
+            return res.pose_prior_residual(ctrl, u, T_bs_id, m)
+        r = jax.vmap(rr)(f.s, f.u, f.meas) * cfg.prior_sqrt_info
+        total += jnp.sum(jnp.sum(r * r, -1) * f.active)
+
+    return 0.5 * total
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def optimize(params: Params, cams: CameraCalib, imu: ImuCalib,
+             factors: Factors, masks: Masks, cfg: SolverConfig,
+             dt, bias_dt):
+    """Run the fixed-iteration LM loop.  Jittable; shapes never change.
+
+    Reference analogue: ``Optimizer<CERES>::optimize`` with max 5 LM
+    iterations (``ceres/optimizer.cpp:276-279``)."""
+    L = params.num_landmarks
+    dtype = params.knots.dtype
+    cost0 = compute_cost(params, cams, imu, factors, cfg, dt, bias_dt)
+
+    def body(carry, _):
+        p, lam, cost = carry
+        sys = linearize(p, cams, imu, factors, masks, cfg, dt, bias_dt)
+        dp, dl = solve_normal_equations(sys, masks, lam, L, cfg)
+        trial = apply_delta(p, dp, dl, masks, cfg)
+        trial_cost = compute_cost(trial, cams, imu, factors, cfg, dt, bias_dt)
+        accept = trial_cost < cost
+        p_next = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b), trial, p)
+        cost_next = jnp.where(accept, trial_cost, cost)
+        lam_next = jnp.where(accept, lam * cfg.lambda_down,
+                             lam * cfg.lambda_up)
+        lam_next = jnp.clip(lam_next, 1e-10, 1e6)
+        return (p_next, lam_next, cost_next), accept
+
+    init = (params, jnp.asarray(cfg.init_lambda, dtype), cost0)
+    (p_fin, lam_fin, cost_fin), accepted = jax.lax.scan(
+        body, init, None, length=cfg.max_iterations)
+    return p_fin, SolveStats(
+        initial_cost=cost0, final_cost=cost_fin, lambda_final=lam_fin,
+        accepted=accepted)

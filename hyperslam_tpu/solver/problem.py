@@ -1,0 +1,219 @@
+"""Fixed-capacity, masked problem tensors for the sliding-window NLLS.
+
+This is the TPU-native inversion of the reference's pointer-graph problem
+(heterogeneous Ceres parameter blocks + per-residual dynamic layouts,
+``/root/reference/internal/hyper/optimizers/ceres/optimizer.cpp:73-283``):
+all residuals of a type live in one struct-of-arrays with an ``active`` mask,
+capacities are static so nothing recompiles as the window slides, and the
+whole window is solved as one batched Gauss-Newton problem.
+
+Reduced parameter layout (tangent space), mirroring the reference's canonical
+block order [state knots | sensor params | observation params]
+(``ceres/costs/exteroceptive.cpp:25-99``):
+
+    [ pose knots: K * 6 | gyro bias knots: Kb * 3 | accel bias knots: Kb * 3
+      | gravity: 2 ]
+
+Landmarks (L * 3) are Schur-eliminated, not part of the reduced system.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..variables import s2, se3
+
+
+@struct.dataclass
+class CameraCalib:
+    """Per-camera calibration, batched over cameras (C, ...).
+
+    Reference: ``Camera`` sensor parameters — extrinsics T_bs, intrinsics
+    [cx, cy, fx, fy], radial-tangential distortion (SURVEY.md §2.3)."""
+    T_bs: jnp.ndarray    # (C, 7)
+    intrinsics: jnp.ndarray  # (C, 4)
+    distortion: jnp.ndarray  # (C, 4)
+
+
+@struct.dataclass
+class ImuCalib:
+    """IMU calibration (reference ``IMU`` sensor, SURVEY.md §2.3)."""
+    T_bs: jnp.ndarray        # (7,)
+    gyro_intrinsics: jnp.ndarray   # (3, 3) scale/misalignment
+    accel_intrinsics: jnp.ndarray  # (3, 3)
+    g_sensitivity: jnp.ndarray     # (3, 3)
+    lever_arm: jnp.ndarray         # (3,)
+
+    @classmethod
+    def default(cls, dtype=jnp.float32):
+        return cls(
+            T_bs=se3.identity(dtype),
+            gyro_intrinsics=jnp.eye(3, dtype=dtype),
+            accel_intrinsics=jnp.eye(3, dtype=dtype),
+            g_sensitivity=jnp.zeros((3, 3), dtype),
+            lever_arm=jnp.zeros(3, dtype),
+        )
+
+
+@struct.dataclass
+class Params:
+    """Optimizable state of one window."""
+    knots: jnp.ndarray       # (K, 7) SE3 pose spline knots
+    landmarks: jnp.ndarray   # (L, 3) world points
+    gravity: jnp.ndarray     # (3,) norm-fixed
+    bias_g: jnp.ndarray      # (Kb, 3) gyroscope bias spline knots
+    bias_a: jnp.ndarray      # (Kb, 3) accelerometer bias spline knots
+
+    @property
+    def num_knots(self):
+        return self.knots.shape[0]
+
+    @property
+    def num_landmarks(self):
+        return self.landmarks.shape[0]
+
+    @property
+    def num_bias_knots(self):
+        return self.bias_g.shape[0]
+
+
+@struct.dataclass
+class VisualFactors:
+    """Bearing or pixel observations (one array set per camera-agnostic batch).
+
+    Each factor references its spline segment (s, u), camera, landmark slot.
+    Reference analogue: one ``ExteroceptiveCost`` per observation
+    (``ceres/optimizer.cpp:189-232``)."""
+    s: jnp.ndarray       # (F,) int32 first support-knot index
+    u: jnp.ndarray       # (F,) local spline coordinate
+    cam: jnp.ndarray     # (F,) int32 camera index
+    lm: jnp.ndarray      # (F,) int32 landmark slot
+    meas: jnp.ndarray    # (F, 3) bearing  or (F, 2) pixel
+    active: jnp.ndarray  # (F,) {0, 1}
+
+    @classmethod
+    def empty(cls, capacity: int, meas_dim: int = 3, dtype=jnp.float32):
+        return cls(
+            s=jnp.zeros(capacity, jnp.int32),
+            u=jnp.zeros(capacity, dtype),
+            cam=jnp.zeros(capacity, jnp.int32),
+            lm=jnp.zeros(capacity, jnp.int32),
+            meas=jnp.zeros((capacity, meas_dim), dtype).at[:, -1].set(1.0),
+            active=jnp.zeros(capacity, dtype),
+        )
+
+
+@struct.dataclass
+class InertialFactors:
+    """Direct continuous-time IMU factors (reference ``direct.cpp:13-38``)."""
+    s: jnp.ndarray        # (F,) pose-spline segment
+    u: jnp.ndarray        # (F,)
+    bias_s: jnp.ndarray   # (F,) bias-spline segment
+    bias_u: jnp.ndarray   # (F,)
+    meas: jnp.ndarray     # (F, 6) [gyro, accel]
+    active: jnp.ndarray   # (F,)
+
+    @classmethod
+    def empty(cls, capacity: int, dtype=jnp.float32):
+        return cls(
+            s=jnp.zeros(capacity, jnp.int32),
+            u=jnp.zeros(capacity, dtype),
+            bias_s=jnp.zeros(capacity, jnp.int32),
+            bias_u=jnp.zeros(capacity, dtype),
+            meas=jnp.zeros((capacity, 6), dtype),
+            active=jnp.zeros(capacity, dtype),
+        )
+
+
+@struct.dataclass
+class PriorFactors:
+    """SE3 pose priors (reference manifold observations,
+    ``ceres/optimizer.cpp:234-251``)."""
+    s: jnp.ndarray       # (F,)
+    u: jnp.ndarray       # (F,)
+    meas: jnp.ndarray    # (F, 7) measured T_ws
+    active: jnp.ndarray  # (F,)
+
+    @classmethod
+    def empty(cls, capacity: int, dtype=jnp.float32):
+        meas = jnp.zeros((capacity, 7), dtype).at[:, 0].set(1.0)
+        return cls(
+            s=jnp.zeros(capacity, jnp.int32),
+            u=jnp.zeros(capacity, dtype),
+            meas=meas,
+            active=jnp.zeros(capacity, dtype),
+        )
+
+
+@struct.dataclass
+class Factors:
+    bearing: VisualFactors
+    pixel: VisualFactors
+    inertial: InertialFactors
+    prior: PriorFactors
+
+    @classmethod
+    def empty(cls, bearing_cap=0, pixel_cap=0, inertial_cap=0, prior_cap=0,
+              dtype=jnp.float32):
+        return cls(
+            bearing=VisualFactors.empty(bearing_cap, 3, dtype),
+            pixel=VisualFactors.empty(pixel_cap, 2, dtype),
+            inertial=InertialFactors.empty(inertial_cap, dtype),
+            prior=PriorFactors.empty(prior_cap, dtype),
+        )
+
+
+@struct.dataclass
+class Masks:
+    """Freeze masks (1 = free, 0 = frozen/constant).
+
+    The reference freezes knots at/below the window lower bound instead of
+    marginalizing (``ceres/optimizer.cpp:322-328``) and marks inactive
+    landmark slots; same semantics here, imposed on the normal equations."""
+    knots: jnp.ndarray      # (K,)
+    landmarks: jnp.ndarray  # (L,)
+    gravity: jnp.ndarray    # () scalar {0,1}
+    bias: jnp.ndarray       # (Kb,) shared by gyro/accel knots
+
+    @classmethod
+    def all_free(cls, K, L, Kb, dtype=jnp.float32, gravity_free=True):
+        return cls(
+            knots=jnp.ones(K, dtype),
+            landmarks=jnp.ones(L, dtype),
+            gravity=jnp.asarray(1.0 if gravity_free else 0.0, dtype),
+            bias=jnp.ones(Kb, dtype),
+        )
+
+
+class SolverConfig(struct.PyTreeNode):
+    """Static solve configuration (python-level; not traced)."""
+    max_iterations: int = struct.field(pytree_node=False, default=5)
+    order: int = struct.field(pytree_node=False, default=4)
+    bias_order: int = struct.field(pytree_node=False, default=4)
+    # measurement information (1/sigma): residuals are premultiplied
+    bearing_sqrt_info: float = struct.field(pytree_node=False, default=1.0)
+    pixel_sqrt_info: float = struct.field(pytree_node=False, default=1.0)
+    gyro_sqrt_info: float = struct.field(pytree_node=False, default=1.0)
+    accel_sqrt_info: float = struct.field(pytree_node=False, default=1.0)
+    prior_sqrt_info: float = struct.field(pytree_node=False, default=1.0)
+    # robust losses (reference parameters, see factors/losses.py)
+    bearing_huber: float = struct.field(pytree_node=False, default=1.6e-3)
+    pixel_huber: float = struct.field(pytree_node=False, default=0.5)
+    inertial_scale: float = struct.field(pytree_node=False, default=1.6e-5)
+    # LM damping
+    init_lambda: float = struct.field(pytree_node=False, default=1e-4)
+    lambda_up: float = struct.field(pytree_node=False, default=10.0)
+    lambda_down: float = struct.field(pytree_node=False, default=0.5)
+    landmark_jitter: float = struct.field(pytree_node=False, default=1e-6)
+
+
+def layout_dims(K: int, Kb: int):
+    """Column offsets of the reduced system: returns (D, off_bias_g,
+    off_bias_a, off_gravity)."""
+    off_bg = K * 6
+    off_ba = off_bg + Kb * 3
+    off_g = off_ba + Kb * 3
+    return off_g + 2, off_bg, off_ba, off_g

@@ -1,0 +1,112 @@
+"""CLI entry point: ``python -m hyperslam_tpu <settings.yaml> <output_dir>``.
+
+Mirrors the reference binary's interface (``HyperSLAM <settings.yaml>
+<output_dir>``, ``/root/reference/apps/hyperslam/main.cpp:106-163``) with a
+``--dataset`` flag pointing at a EuRoC sequence folder (replacing rosbag
+playback) or ``--synthetic`` for the built-in simulator.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="hyperslam_tpu",
+        description="TPU-native continuous-time SLAM (HyperSLAM-capability)")
+    p.add_argument("settings", help="settings.yaml (reference schema)")
+    p.add_argument("output", help="output directory")
+    p.add_argument("--dataset", default=None,
+                   help="EuRoC sequence root (contains mav0/)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="run on the built-in synthetic sequence")
+    p.add_argument("--duration", type=float, default=None,
+                   help="max seconds of data to process")
+    p.add_argument("--no-imu", action="store_true")
+    p.add_argument("--f64", action="store_true",
+                   help="use float64 (CPU debugging)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (use jax.config, not env)")
+    p.add_argument("--groundtruth", default=None,
+                   help="TUM ground-truth file for scoring")
+    args = p.parse_args(argv)
+    if not args.synthetic and not args.dataset:
+        p.error("provide --dataset or --synthetic")
+    if not os.path.isfile(args.settings):
+        p.error(f"settings file not found: {args.settings}")
+
+    import jax
+    import jax.numpy as jnp
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    # persistent compile cache (compiles dominate on cold starts)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from .config import load_system_spec
+    from .system import System
+    from ..evaluation import metrics
+
+    spec = load_system_spec(args.settings)
+    system = System(spec, dtype=dtype)
+
+    if args.synthetic:
+        from ..frontend import synthetic
+        cfg = synthetic.SyntheticConfig(duration=args.duration or 10.0)
+        seq = synthetic.generate(cfg, calib=system.cams)
+        events = []
+        for (t, cam_idx, tids, px) in seq.frames:
+            events.append(("tracks", t, cam_idx, tids, px))
+        if not args.no_imu:
+            for (t, g, a) in seq.imu:
+                events.append(("imu", t, g, a))
+        events.sort(key=lambda e: e[1])
+    elif args.dataset:
+        from ..frontend.euroc import EurocSequence
+        ds = EurocSequence(args.dataset)
+        def event_stream():
+            for e in ds.events(use_imu=not args.no_imu,
+                               max_duration=args.duration):
+                if e[0] == "stereo":
+                    _, t, n0, n1 = e
+                    yield ("stereo", t, ds.read_image(0, n0),
+                           ds.read_image(1, n1))
+                else:
+                    yield e
+        events = event_stream()
+
+    system.run(events, progress_every=500)
+    stamps, poses = system.shutdown(args.output)
+    print(f"exported {len(stamps)} poses to {args.output}")
+
+    if args.synthetic:
+        # score directly against the generating trajectory
+        gt = np.asarray(seq.gt_pose(stamps - system.estimator.root_stamp))
+        out = metrics.ape(stamps, poses[:, 4:], poses[:, :4],
+                          stamps, gt[:, 4:], gt[:, :4], align=True)
+        print(json.dumps({"ape_vs_synthetic_gt": out}, indent=2))
+
+    if args.groundtruth:
+        gs, gp, gq = metrics.load_tum(args.groundtruth)
+        out = metrics.ape(stamps, poses[:, 4:], poses[:, :4], gs, gp, gq,
+                          align=True)
+        print(json.dumps({"ape": out}, indent=2))
+        with open(os.path.join(args.output, "ape.json"), "w") as f:
+            json.dump(out, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,195 @@
+"""NumPy mirrors of the host-path math: quaternions, SE3, spline eval,
+camera helpers.
+
+Why this exists: the estimator's host-side bookkeeping (triangulating a
+handful of new tracks, evaluating one pose, converting one frame's pixels to
+bearings, exporting the trajectory) involves tiny arrays where JAX dispatch
+and — on the axon TPU platform — per-op *remote compilation* costs seconds.
+The device-resident solver does all the heavy math; the host path uses these
+NumPy twins.  Parity with the JAX implementations is enforced by
+``tests/test_nplie.py``.
+
+Same conventions as ``variables/so3.py`` / ``variables/se3.py`` /
+``state/bspline.py``: quaternions wxyz, SE3 as (..., 7), cumulative B-spline
+with support knots ``s .. s+k-1``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..state.bspline import _blending_matrix_np, _cumulative_blending_matrix_np
+
+__all__ = [
+    "quat_mul", "quat_conj", "quat_rotate", "quat_to_matrix",
+    "se3_compose", "se3_inverse", "se3_act",
+    "so3_exp", "so3_log", "se3_exp", "se3_log",
+    "eval_se3", "pixel_to_bearing", "triangulate_midpoint",
+]
+
+
+def quat_mul(q1, q2):
+    w1, x1, y1, z1 = np.moveaxis(q1, -1, 0)
+    w2, x2, y2, z2 = np.moveaxis(q2, -1, 0)
+    return np.stack([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ], axis=-1)
+
+
+def quat_conj(q):
+    return q * np.array([1.0, -1.0, -1.0, -1.0])
+
+
+def quat_rotate(q, v):
+    qw = q[..., :1]
+    qv = q[..., 1:]
+    t = 2.0 * np.cross(qv, v)
+    return v + qw * t + np.cross(qv, t)
+
+
+def quat_to_matrix(q):
+    from ..evaluation.metrics import quat_to_matrix_np
+    return quat_to_matrix_np(q)
+
+
+def se3_compose(T1, T2):
+    q1, t1 = T1[..., :4], T1[..., 4:]
+    q2, t2 = T2[..., :4], T2[..., 4:]
+    return np.concatenate([quat_mul(q1, q2), t1 + quat_rotate(q1, t2)], -1)
+
+
+def se3_inverse(T):
+    q, t = T[..., :4], T[..., 4:]
+    qi = quat_conj(q)
+    return np.concatenate([qi, -quat_rotate(qi, t)], -1)
+
+
+def se3_act(T, p):
+    return quat_rotate(T[..., :4], p) + T[..., 4:]
+
+
+def so3_exp(w):
+    theta2 = np.sum(w * w, axis=-1)
+    theta = np.sqrt(theta2)
+    small = theta2 < 1e-12
+    with np.errstate(invalid="ignore", divide="ignore"):
+        k = np.where(small, 0.5 - theta2 / 48.0, np.sin(theta * 0.5)
+                     / np.where(small, 1.0, theta))
+        c = np.cos(theta * 0.5)
+    return np.concatenate([c[..., None], k[..., None] * w], -1)
+
+
+def so3_log(q):
+    qw = q[..., 0]
+    qv = q[..., 1:]
+    sign = np.where(qw < 0, -1.0, 1.0)
+    qw = qw * sign
+    qv = qv * sign[..., None]
+    n2 = np.sum(qv * qv, axis=-1)
+    n = np.sqrt(n2)
+    small = n2 < 1e-14
+    with np.errstate(invalid="ignore", divide="ignore"):
+        factor = np.where(
+            small, 2.0 / np.maximum(qw, 1e-12),
+            2.0 * np.arctan2(n, qw) / np.where(small, 1.0, n))
+    return factor[..., None] * qv
+
+
+def _v_coeffs(theta2):
+    small = theta2 < 1e-12
+    theta = np.sqrt(np.where(small, 1.0, theta2))
+    a = np.where(small, 0.5 - theta2 / 24.0,
+                 (1.0 - np.cos(theta)) / np.where(small, 1.0, theta2))
+    b = np.where(small, 1.0 / 6.0 - theta2 / 120.0,
+                 (theta - np.sin(theta)) / np.where(small, 1.0, theta2 * theta))
+    return a, b
+
+
+def se3_exp(xi):
+    w, v = xi[..., :3], xi[..., 3:]
+    q = so3_exp(w)
+    theta2 = np.sum(w * w, axis=-1)
+    a, b = _v_coeffs(theta2)
+    wxv = np.cross(w, v)
+    t = v + a[..., None] * wxv + b[..., None] * np.cross(w, wxv)
+    return np.concatenate([q, t], -1)
+
+
+def se3_log(T):
+    q, t = T[..., :4], T[..., 4:]
+    w = so3_log(q)
+    theta2 = np.sum(w * w, axis=-1)
+    small = theta2 < 1e-12
+    theta = np.sqrt(np.where(small, 1.0, theta2))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        c = np.where(
+            small, 1.0 / 12.0 + theta2 / 720.0,
+            (1.0 - 0.5 * theta * np.cos(theta * 0.5) / np.sin(theta * 0.5))
+            / np.where(small, 1.0, theta2))
+    wxt = np.cross(w, t)
+    v = t - 0.5 * wxt + c[..., None] * np.cross(w, wxt)
+    return np.concatenate([w, v], -1)
+
+
+def eval_se3(knots, t, t0, dt, order=4, n_valid=None):
+    """Cumulative SE3 B-spline evaluation, numpy.  knots (N, 7), t (...)."""
+    knots = np.asarray(knots, np.float64)
+    t = np.asarray(t, np.float64)
+    n = knots.shape[0] if n_valid is None else n_valid
+    x = (t - t0) / dt
+    s = np.clip(np.floor(x).astype(np.int64), 0, n - order)
+    u = x - s
+    Mt = _cumulative_blending_matrix_np(order)
+    powers = np.stack([u**p for p in range(order)], -1)
+    lam = powers @ Mt.T                      # (..., k)
+    ctrl = knots[s[..., None] + np.arange(order)]   # (..., k, 7)
+    T = ctrl[..., 0, :]
+    for j in range(1, order):
+        omega = se3_log(se3_compose(se3_inverse(ctrl[..., j - 1, :]),
+                                    ctrl[..., j, :]))
+        T = se3_compose(T, se3_exp(lam[..., j, None] * omega))
+    q = T[..., :4]
+    T = np.concatenate(
+        [q / np.linalg.norm(q, axis=-1, keepdims=True), T[..., 4:]], -1)
+    return T
+
+
+def _distort(px, dist):
+    k1, k2, p1, p2 = dist
+    x, y = px[..., 0], px[..., 1]
+    r2 = x * x + y * y
+    radial = 1.0 + k1 * r2 + k2 * r2 * r2
+    xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return np.stack([xd, yd], -1)
+
+
+def pixel_to_bearing(uv, intr, dist, iterations=8):
+    """uv (N, 2), intr [cx, cy, fx, fy], dist [k1, k2, p1, p2] -> (N, 3)."""
+    cx, cy, fx, fy = intr
+    xn = np.stack([(uv[..., 0] - cx) / fx, (uv[..., 1] - cy) / fy], -1)
+    u = xn.copy()
+    for _ in range(iterations):
+        u = xn - (_distort(u, dist) - u)
+    b = np.concatenate([u, np.ones_like(u[..., :1])], -1)
+    return b / np.linalg.norm(b, axis=-1, keepdims=True)
+
+
+def triangulate_midpoint(T_01, b0, b1):
+    """Two-view midpoint, numpy (see models/camera.py)."""
+    d0 = b0
+    d1 = quat_rotate(T_01[..., :4], b1)
+    o1 = T_01[..., 4:]
+    a = np.sum(d0 * d0, -1)
+    b = np.sum(d0 * d1, -1)
+    c = np.sum(d1 * d1, -1)
+    e0 = np.sum(d0 * o1, -1)
+    e1 = np.sum(d1 * o1, -1)
+    denom = a * c - b * b
+    safe = np.where(np.abs(denom) < 1e-12, 1e-12, denom)
+    s0 = (c * e0 - b * e1) / safe
+    s1 = (b * e0 - a * e1) / safe
+    return 0.5 * (s0[..., None] * d0 + o1 + s1[..., None] * d1)

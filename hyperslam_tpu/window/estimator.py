@@ -1,0 +1,467 @@
+"""Sliding-window continuous-time estimator — host-side bookkeeping around the
+device-resident batched solver.
+
+TPU-native equivalent of the reference's ``AbstractOptimizer`` + ``Backend``
+pair (``/root/reference/internal/hyper/optimizers/abstract.cpp``,
+``components/backend.cpp``; SURVEY.md §2.1, §3.2, §5.7):
+
+- **bootstrap**: on the first measurement, create identity-valued knots
+  covering the initial stamp (reference ``abstract.cpp:76-96``).
+- **window advance**: when a measurement stamp exceeds the spline range,
+  run ``optimize()``, extrapolate new knots by repeating the last knot value
+  (reference ``abstract.cpp:119-144``), slide the window, freeze knots at or
+  below the window lower bound and drop landmarks that left the window
+  (reference ``ceres/optimizer.cpp:286-382``).
+- **visual processing**: pixels -> bearings, triangulate new tracks (midpoint)
+  and add two bearing observations per stereo track point (reference
+  ``abstract.cpp:186-264``).
+- **inertial processing**: each IMU sample becomes one direct residual
+  (reference ``abstract.cpp:272-292``), with bias splines that the reference
+  left unimplemented (``ceres/optimizer.cpp:384-386``) managed here.
+
+TPU design decisions:
+- Knot/landmark/factor arrays have **fixed capacity** with active masks, so
+  the jitted solve compiles exactly once per configuration.
+- **All host-side bookkeeping math is NumPy** (``variables/nplie.py``): on
+  the axon TPU platform each eager JAX op is a slow remote compile, so the
+  host path must never dispatch device ops.  The device is touched only by
+  ``ba.optimize`` (one jitted call per solve).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..solver import ba
+from ..solver.problem import (CameraCalib, Factors, ImuCalib, InertialFactors,
+                              Masks, Params, PriorFactors, SolverConfig,
+                              VisualFactors)
+from ..variables import nplie, s2
+
+
+@dataclasses.dataclass
+class WindowConfig:
+    """Window geometry (reference defaults: separation 0.1 s, window 3.0 s,
+    ``abstract.cpp:26-28``)."""
+    knot_separation: float = 0.1
+    max_window: float = 3.0
+    order: int = 4
+    # capacities (static shapes)
+    max_knots: int = 40
+    max_landmarks: int = 256
+    max_bearing: int = 2048
+    max_pixel: int = 0
+    max_inertial: int = 1024
+    max_prior: int = 8
+    bias_separation: float = 1.0
+    max_bias_knots: int = 12
+    bias_order: int = 4
+    dtype: object = jnp.float32
+
+
+@dataclasses.dataclass
+class TrackRecord:
+    slot: int
+    last_stamp: float
+    first_stamp: float
+
+
+class SlidingWindowEstimator:
+    """Online continuous-time sliding-window estimator.
+
+    Usage: feed time-ordered measurements via ``add_visual_tracks`` /
+    ``add_imu`` / ``add_pose_prior``; call ``export_trajectory`` at the end
+    (reference SIGUSR1 path, ``apps/hyperslam/main.cpp:52-85``).
+    """
+
+    def __init__(self, window: WindowConfig, cams: CameraCalib,
+                 imu: Optional[ImuCalib] = None,
+                 solver: Optional[SolverConfig] = None):
+        self.w = window
+        self.cams = cams
+        self.imu = imu if imu is not None else ImuCalib.default(window.dtype)
+        self.solver = solver or SolverConfig(
+            order=window.order, bias_order=window.bias_order)
+        self.dtype = window.dtype
+        # numpy copies of calibration for the host path
+        self.cams_np = {
+            "T_bs": np.asarray(cams.T_bs, np.float64),
+            "intr": np.asarray(cams.intrinsics, np.float64),
+            "dist": np.asarray(cams.distortion, np.float64),
+        }
+
+        self.root_stamp: Optional[float] = None  # stamp normalization origin
+        self.t0: float = 0.0          # stamp of knot slot 0
+        self.bias_t0: float = 0.0
+        self.bootstrapped = False
+
+        K, L, Kb = window.max_knots, window.max_landmarks, window.max_bias_knots
+        # host-side (numpy) state; shipped to the device per solve
+        self.knots = np.tile(
+            np.array([1.0, 0, 0, 0, 0, 0, 0]), (K, 1))
+        self.landmarks = np.zeros((L, 3))
+        self.gravity = np.asarray(s2.default_gravity(jnp.float32), np.float64)
+        self.bias_g = np.zeros((Kb, 3))
+        self.bias_a = np.zeros((Kb, 3))
+        self.num_knots = 0           # knots filled so far (<= K)
+
+        # Host-side factor staging.
+        self._bearing: List[tuple] = []   # (t, cam, slot, bearing3)
+        self._inertial: List[tuple] = []  # (t, meas6)
+        self._prior: List[tuple] = []     # (t, T7)
+        self.tracks: Dict[int, TrackRecord] = {}
+        self._free_slots = list(range(L - 1, -1, -1))
+        self._lm_active = np.zeros(L, np.float32)
+
+        # archive of (stamp, knot value) for frozen/expired spline segments
+        self._knot_archive: List[tuple] = []
+        self._solve_count = 0
+        self._last_stats = None
+
+    # ------------------------------------------------------------------ #
+    # bootstrap & window geometry
+    # ------------------------------------------------------------------ #
+
+    def _bootstrap(self, stamp: float,
+                   initial_pose: Optional[np.ndarray] = None):
+        """First-measurement state creation (reference abstract.cpp:76-96)."""
+        self.root_stamp = stamp
+        self.t0 = 0.0
+        self.bias_t0 = 0.0
+        init = (np.asarray(initial_pose, np.float64)
+                if initial_pose is not None
+                else np.array([1.0, 0, 0, 0, 0, 0, 0]))
+        # enough knots that t=0 is inside [t0, t0 + (n-k+1) dt)
+        n0 = self.w.order
+        self.knots[:n0] = init
+        self.num_knots = n0
+        self.bootstrapped = True
+
+    def _local(self, stamp: float) -> float:
+        return stamp - self.root_stamp
+
+    def _range(self):
+        """Valid query range of the currently-filled knots (reference
+        ``AbstractState::range()``)."""
+        lo = self.t0
+        hi = self.t0 + (self.num_knots - self.w.order + 1) \
+            * self.w.knot_separation
+        return lo, hi
+
+    def _extend_to(self, t: float):
+        """Advance the window so t is inside the valid range: optimize the
+        current window first (the reference optimizes on every window
+        advance, abstract.cpp:119-144), then extrapolate new knots by
+        repeating the last value, sliding the ring when capacity is hit."""
+        lo, hi = self._range()
+        if t < hi:
+            return
+        if self._bearing or self._prior or self._inertial:
+            self.optimize()
+        while True:
+            lo, hi = self._range()
+            if t < hi:
+                return
+            if self.num_knots < self.w.max_knots:
+                self.knots[self.num_knots] = self.knots[self.num_knots - 1]
+                self.num_knots += 1
+            else:
+                self._slide()
+
+    def _slide(self):
+        """Drop the oldest knot (already optimized by ``_extend_to``)."""
+        self._knot_archive.append((self.t0, self.knots[0].copy()))
+        self.knots[:-1] = self.knots[1:]
+        self.num_knots -= 1
+        self.t0 += self.w.knot_separation
+        self._evict_stale()
+
+    def _evict_stale(self):
+        """Drop factors/landmarks that fell out of the window (reference
+        ``updateLandmarks``, ceres/optimizer.cpp:347-382)."""
+        lo = self.t0
+        self._bearing = [b for b in self._bearing if b[0] >= lo]
+        self._inertial = [b for b in self._inertial if b[0] >= lo]
+        self._prior = [b for b in self._prior if b[0] >= lo]
+        observed = {b[2] for b in self._bearing}
+        dead = [tid for tid, tr in self.tracks.items()
+                if tr.slot not in observed]
+        for tid in dead:
+            slot = self.tracks.pop(tid).slot
+            self._lm_active[slot] = 0.0
+            self._free_slots.append(slot)
+
+    def _pose_at(self, t: float) -> np.ndarray:
+        return nplie.eval_se3(self.knots, t, self.t0,
+                              self.w.knot_separation, self.w.order,
+                              n_valid=self.num_knots)
+
+    # ------------------------------------------------------------------ #
+    # measurement ingestion
+    # ------------------------------------------------------------------ #
+
+    def add_pose_prior(self, stamp: float, T_ws: np.ndarray):
+        if not self.bootstrapped:
+            self._bootstrap(stamp, T_ws)
+        t = self._local(stamp)
+        self._extend_to(t)
+        self._prior.append((t, np.asarray(T_ws, np.float64)))
+
+    def add_imu(self, stamp: float, gyro: np.ndarray, accel: np.ndarray):
+        """One IMU sample -> one direct inertial factor
+        (reference direct.cpp:13-38)."""
+        if not self.bootstrapped:
+            self._bootstrap(stamp)
+        t = self._local(stamp)
+        if t < self.t0:
+            return  # out-of-scope message: drop (reference abstract.cpp:115)
+        self._extend_to(t)
+        self._inertial.append(
+            (t, np.concatenate([np.asarray(gyro), np.asarray(accel)])))
+
+    def add_visual_tracks(self, stamp: float, cam_indices, track_ids,
+                          pixels) -> None:
+        """Tracked features for one (stereo) frame.
+
+        cam_indices: (M,) camera index per observation; track_ids: (M,)
+        global track ids; pixels: (M, 2).  Mirrors the reference's
+        ``process(VisualTracks)`` (abstract.cpp:186-264)."""
+        if not self.bootstrapped:
+            self._bootstrap(stamp)
+        t = self._local(stamp)
+        if t < self.t0:
+            return
+        self._extend_to(t)
+
+        cam_indices = np.asarray(cam_indices)
+        track_ids = np.asarray(track_ids)
+        pixels = np.asarray(pixels, np.float64)
+
+        # pixels -> unit bearings (numpy, per camera)
+        bearings = np.zeros((len(track_ids), 3))
+        for c in np.unique(cam_indices):
+            m = cam_indices == c
+            bearings[m] = nplie.pixel_to_bearing(
+                pixels[m], self.cams_np["intr"][int(c)],
+                self.cams_np["dist"][int(c)])
+
+        # split into known and new tracks
+        new_obs: Dict[int, list] = {}
+        for i, tid in enumerate(track_ids):
+            tr = self.tracks.get(tid)
+            if tr is not None:
+                tr.last_stamp = t
+            else:
+                new_obs.setdefault(int(tid), []).append(i)
+
+        if new_obs:
+            T_wb = self._pose_at(t)
+            T_w_c0 = nplie.se3_compose(T_wb, self.cams_np["T_bs"][0])
+            T_w_c1 = nplie.se3_compose(T_wb, self.cams_np["T_bs"][1]) \
+                if len(self.cams_np["T_bs"]) > 1 else None
+            for tid, idxs in new_obs.items():
+                if not self._free_slots:
+                    break  # capacity: skip new tracks (masked design)
+                cams_of = cam_indices[idxs]
+                if len(idxs) >= 2 and T_w_c1 is not None:
+                    i0 = idxs[int(np.argmin(cams_of))]
+                    i1 = idxs[int(np.argmax(cams_of))]
+                    T_01 = nplie.se3_compose(
+                        nplie.se3_inverse(T_w_c0), T_w_c1)
+                    p0 = nplie.triangulate_midpoint(
+                        T_01, bearings[i0], bearings[i1])
+                    depth = p0[2]
+                    if not np.isfinite(depth) or not (0.05 < depth < 200.0):
+                        continue
+                    p_w = nplie.se3_act(T_w_c0, p0)
+                else:
+                    # monocular init at nominal depth along the ray
+                    c = int(cams_of[0])
+                    T_wc = T_w_c0 if c == 0 else T_w_c1
+                    p_w = nplie.se3_act(T_wc, bearings[idxs[0]] * 5.0)
+                slot = self._free_slots.pop()
+                self.tracks[tid] = TrackRecord(slot, t, t)
+                self._lm_active[slot] = 1.0
+                self.landmarks[slot] = p_w
+
+        for cidx, tid, b in zip(cam_indices, track_ids, bearings):
+            tr = self.tracks.get(tid)
+            if tr is None:
+                continue
+            self._bearing.append((t, int(cidx), tr.slot, b))
+
+    # ------------------------------------------------------------------ #
+    # solve
+    # ------------------------------------------------------------------ #
+
+    def _ensure_bias_knots(self, t: float):
+        """Lazily slide bias splines to cover t (the piece the reference
+        left as CHECK(false), ceres/optimizer.cpp:384-386)."""
+        dtb = self.w.bias_separation
+        kb = self.w.bias_order
+        nb = self.w.max_bias_knots
+        while t >= self.bias_t0 + (nb - kb + 1) * dtb:
+            self.bias_g[:-1] = self.bias_g[1:]
+            self.bias_a[:-1] = self.bias_a[1:]
+            self.bias_t0 += dtb
+
+    def _seg(self, ts: np.ndarray):
+        dt = self.w.knot_separation
+        s = np.clip(np.floor((ts - self.t0) / dt).astype(np.int32),
+                    0, self.num_knots - self.w.order)
+        u = (ts - self.t0) / dt - s
+        return s, u
+
+    def _build_factors(self) -> Factors:
+        """Stage host factor lists into full-capacity device arrays (one
+        transfer per array, no device compute)."""
+        w, dtype = self.w, self.dtype
+
+        def visual(data, cap, meas_dim):
+            s = np.zeros(cap, np.int32)
+            u = np.zeros(cap, np.float32)
+            cam = np.zeros(cap, np.int32)
+            lm = np.zeros(cap, np.int32)
+            meas = np.zeros((cap, meas_dim), np.float32)
+            meas[:, -1] = 1.0
+            act = np.zeros(cap, np.float32)
+            n = min(len(data), cap)
+            if n:
+                d = data[-n:]
+                ts = np.asarray([x[0] for x in d])
+                s[:n], u[:n] = self._seg(ts)
+                cam[:n] = [x[1] for x in d]
+                lm[:n] = [x[2] for x in d]
+                meas[:n] = np.stack([x[3] for x in d])
+                act[:n] = 1.0
+            return VisualFactors(
+                s=jnp.asarray(s), u=jnp.asarray(u, dtype),
+                cam=jnp.asarray(cam), lm=jnp.asarray(lm),
+                meas=jnp.asarray(meas, dtype), active=jnp.asarray(act, dtype))
+
+        bearing = visual(self._bearing, w.max_bearing, 3)
+        pixel = visual([], w.max_pixel, 2)
+
+        cap = w.max_inertial
+        s = np.zeros(cap, np.int32)
+        u = np.zeros(cap, np.float32)
+        bs = np.zeros(cap, np.int32)
+        bu = np.zeros(cap, np.float32)
+        meas = np.zeros((cap, 6), np.float32)
+        act = np.zeros(cap, np.float32)
+        n = min(len(self._inertial), cap)
+        if n:
+            d = self._inertial[-n:]
+            ts = np.asarray([x[0] for x in d])
+            self._ensure_bias_knots(float(ts.max()))
+            s[:n], u[:n] = self._seg(ts)
+            bs_f = np.floor((ts - self.bias_t0) / w.bias_separation)
+            bs[:n] = np.clip(bs_f.astype(np.int32), 0,
+                             w.max_bias_knots - w.bias_order)
+            bu[:n] = (ts - self.bias_t0) / w.bias_separation - bs[:n]
+            meas[:n] = np.stack([x[1] for x in d])
+            act[:n] = 1.0
+        inertial = InertialFactors(
+            s=jnp.asarray(s), u=jnp.asarray(u, dtype), bias_s=jnp.asarray(bs),
+            bias_u=jnp.asarray(bu, dtype), meas=jnp.asarray(meas, dtype),
+            active=jnp.asarray(act, dtype))
+
+        cap = w.max_prior
+        s = np.zeros(cap, np.int32)
+        u = np.zeros(cap, np.float32)
+        meas = np.zeros((cap, 7), np.float32)
+        meas[:, 0] = 1.0
+        act = np.zeros(cap, np.float32)
+        n = min(len(self._prior), cap)
+        if n:
+            d = self._prior[-n:]
+            ts = np.asarray([x[0] for x in d])
+            s[:n], u[:n] = self._seg(ts)
+            meas[:n] = np.stack([x[1] for x in d])
+            act[:n] = 1.0
+        prior = PriorFactors(
+            s=jnp.asarray(s), u=jnp.asarray(u, dtype),
+            meas=jnp.asarray(meas, dtype), active=jnp.asarray(act, dtype))
+
+        return Factors(bearing=bearing, pixel=pixel, inertial=inertial,
+                       prior=prior)
+
+    def _build_masks(self) -> Masks:
+        w = self.w
+        K = w.max_knots
+        knots = np.zeros(K, np.float32)
+        knots[:self.num_knots] = 1.0
+        # Freeze knots below the window lower bound (reference
+        # ceres/optimizer.cpp:322-328).
+        n_window = int(np.ceil(w.max_window / w.knot_separation)) + w.order
+        first_free = max(0, self.num_knots - n_window)
+        knots[:first_free] = 0.0
+        has_imu = bool(self._inertial)
+        return Masks(
+            knots=jnp.asarray(knots),
+            landmarks=jnp.asarray(self._lm_active),
+            gravity=jnp.asarray(1.0 if has_imu else 0.0, np.float32),
+            bias=jnp.ones(w.max_bias_knots, np.float32) if has_imu
+            else jnp.zeros(w.max_bias_knots, np.float32),
+        )
+
+    def _params(self) -> Params:
+        dtype = self.dtype
+        return Params(
+            knots=jnp.asarray(self.knots, dtype),
+            landmarks=jnp.asarray(self.landmarks, dtype),
+            gravity=jnp.asarray(self.gravity, dtype),
+            bias_g=jnp.asarray(self.bias_g, dtype),
+            bias_a=jnp.asarray(self.bias_a, dtype),
+        )
+
+    def optimize(self):
+        """One windowed solve (reference Optimizer<CERES>::optimize) —
+        a single jitted device call."""
+        if not self.bootstrapped:
+            return None
+        factors = self._build_factors()
+        masks = self._build_masks()
+        params, stats = ba.optimize(
+            self._params(), self.cams, self.imu, factors, masks, self.solver,
+            jnp.asarray(self.w.knot_separation, self.dtype),
+            jnp.asarray(self.w.bias_separation, self.dtype))
+        # pull the refined state back to host numpy
+        self.knots = np.array(params.knots, np.float64)
+        self.landmarks = np.array(params.landmarks, np.float64)
+        self.gravity = np.array(params.gravity, np.float64)
+        self.bias_g = np.array(params.bias_g, np.float64)
+        self.bias_a = np.array(params.bias_a, np.float64)
+        self._solve_count += 1
+        self._last_stats = stats
+        return stats
+
+    # ------------------------------------------------------------------ #
+    # export
+    # ------------------------------------------------------------------ #
+
+    def export_trajectory(self, rate_hz: float = 100.0):
+        """Sample the full trajectory (archive + live window) at rate_hz.
+
+        Returns (stamps (N,), poses (N, 7)) with absolute stamps — the
+        reference's SIGUSR1 export (``main.cpp:69-84``, 100 Hz)."""
+        if not self.bootstrapped:
+            return np.zeros(0), np.zeros((0, 7))
+        dt = self.w.knot_separation
+        if self._knot_archive:
+            t0 = self._knot_archive[0][0]
+            arch = np.stack([a[1] for a in self._knot_archive])
+            all_knots = np.concatenate([arch, self.knots[:self.num_knots]])
+        else:
+            all_knots = self.knots[:self.num_knots]
+            t0 = self.t0
+        n = all_knots.shape[0]
+        lo = t0
+        hi = t0 + (n - self.w.order + 1) * dt
+        ts = np.arange(lo, hi - 1e-9, 1.0 / rate_hz)
+        poses = nplie.eval_se3(all_knots, ts, t0, dt, self.w.order)
+        return ts + self.root_stamp, poses

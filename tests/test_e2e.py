@@ -1,0 +1,66 @@
+"""End-to-end: synthetic stereo(+inertial) sequence -> sliding-window
+estimator -> trajectory -> ATE gate.  This is the CI-sized analogue of the
+reference's dataset-level evaluation harness (SURVEY.md §5.5)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hyperslam_tpu.evaluation import metrics
+from hyperslam_tpu.frontend import synthetic
+from hyperslam_tpu.solver.problem import SolverConfig
+from hyperslam_tpu.window.estimator import SlidingWindowEstimator, WindowConfig
+
+
+def _run_estimator(seq, window, solver, use_imu=False, prior_every=None):
+    est = SlidingWindowEstimator(window, seq.calib, imu=seq.imu_calib,
+                                 solver=solver)
+    events = []
+    for f in seq.frames:
+        events.append((f[0], 1, ("frame", f)))
+    if use_imu:
+        for s in seq.imu:
+            events.append((s[0], 0, ("imu", s)))
+    events.sort(key=lambda e: (e[0], e[1]))
+    # anchor the gauge: pose priors on the first few frames from ground truth
+    t_first = events[0][0]
+    for t, _, (kind, payload) in events:
+        if kind == "frame":
+            stamp, cam_idx, tids, px = payload
+            if prior_every is not None and stamp - t_first < prior_every:
+                T_gt = np.asarray(seq.gt_pose(stamp))
+                est.add_pose_prior(stamp, T_gt)
+            est.add_visual_tracks(stamp, cam_idx, tids, px)
+        else:
+            stamp, gyro, accel = payload
+            est.add_imu(stamp, gyro, accel)
+    est.optimize()
+    return est
+
+
+import jax  # noqa: E402
+
+
+@pytest.mark.slow
+def test_stereo_vo_ate():
+    cfg = synthetic.SyntheticConfig(
+        duration=4.0, knot_dt=0.5, cam_rate=10.0, num_landmarks=120,
+        pixel_noise=0.3, seed=1)
+    seq = synthetic.generate(cfg)
+    assert len(seq.frames) > 20
+
+    window = WindowConfig(
+        knot_separation=0.25, max_window=2.0, max_knots=24,
+        max_landmarks=160, max_bearing=4096, max_inertial=0, max_prior=16,
+        dtype=jnp.float64)
+    solver = SolverConfig(max_iterations=4, bearing_sqrt_info=500.0)
+    est = _run_estimator(seq, window, solver, use_imu=False, prior_every=0.35)
+
+    stamps, poses = est.export_trajectory(rate_hz=20.0)
+    assert len(stamps) > 30
+    gt = np.asarray(seq.gt_pose(stamps - est.root_stamp))
+    out = metrics.ape(stamps, poses[:, 4:], poses[:, :4],
+                      stamps, gt[:, 4:], gt[:, :4], align=True)
+    # Synthetic stereo VO with 0.3 px noise should stay well under 5 cm ATE.
+    assert out["trans_rmse"] < 0.05, out
+    assert out["rot_rmse_deg"] < 2.0, out
