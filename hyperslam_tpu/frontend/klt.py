@@ -245,9 +245,9 @@ class StereoKLT:
             right, ok_r = lk_track(pyr0, pyr1, fwd, guess1, ok,
                                    cfg.win, cfg.iters)
             ok = ok & ok_r
-            self.pts0 = np.asarray(fwd)
-            self.pts1 = np.asarray(right)
-            self.valid = np.asarray(ok)
+            self.pts0 = np.array(fwd)
+            self.pts1 = np.array(right)
+            self.valid = np.array(ok)
             self.lengths[self.valid] += 1
             self.ids[~self.valid] = -1
 

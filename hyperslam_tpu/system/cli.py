@@ -46,8 +46,10 @@ def main(argv=None):
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     dtype = jnp.float64 if args.f64 else jnp.float32
-    if args.f64:
-        jax.config.update("jax_enable_x64", True)
+    # x64 is always enabled so the solver's normal equations accumulate in
+    # f64 (solver/ba.py _solve_dtype); the working dtype stays f32 unless
+    # --f64 is given.
+    jax.config.update("jax_enable_x64", True)
     # persistent compile cache (compiles dominate on cold starts)
     jax.config.update(
         "jax_compilation_cache_dir",
@@ -74,20 +76,40 @@ def main(argv=None):
                 events.append(("imu", t, g, a))
         events.sort(key=lambda e: e[1])
     elif args.dataset:
-        from ..frontend.euroc import EurocSequence
-        ds = EurocSequence(args.dataset)
-        def event_stream():
-            for e in ds.events(use_imu=not args.no_imu,
-                               max_duration=args.duration):
-                if e[0] == "stereo":
-                    _, t, n0, n1 = e
-                    yield ("stereo", t, ds.read_image(0, n0),
-                           ds.read_image(1, n1))
-                else:
-                    yield e
-        events = event_stream()
+        from ..frontend import native_io
+        if native_io.available():
+            # native C++ runtime: threaded PNG prefetch + stream merge
+            events = native_io.NativeEurocStream(
+                args.dataset, use_imu=not args.no_imu,
+                max_duration=args.duration or 0.0)
+        else:
+            from ..frontend.euroc import EurocSequence
+            ds = EurocSequence(args.dataset)
+            def event_stream():
+                for e in ds.events(use_imu=not args.no_imu,
+                                   max_duration=args.duration):
+                    if e[0] == "stereo":
+                        _, t, n0, n1 = e
+                        yield ("stereo", t, ds.read_image(0, n0),
+                               ds.read_image(1, n1))
+                    else:
+                        yield e
+            events = event_stream()
 
-    system.run(events, progress_every=500)
+    # SIGINT / SIGUSR1 stop-and-export, mirroring the reference's handlers
+    # (apps/hyperslam/main.cpp:142-153): both trigger a clean shutdown with
+    # trajectory export; SIGUSR1 is what evaluation scripts send.
+    import signal
+    stop = {"flag": False}
+
+    def _handler(signum, frame):
+        stop["flag"] = True
+
+    signal.signal(signal.SIGINT, _handler)
+    signal.signal(signal.SIGUSR1, _handler)
+
+    system.run(events, progress_every=500,
+               should_stop=lambda: stop["flag"])
     stamps, poses = system.shutdown(args.output)
     print(f"exported {len(stamps)} poses to {args.output}")
 

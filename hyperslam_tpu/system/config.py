@@ -218,10 +218,15 @@ def window_config_from_spec(spec: SystemSpec, dtype=jnp.float32,
 
 
 def solver_config_from_spec(spec: SystemSpec, imu_rate: float = 200.0,
+                            pixel_sigma: float = 1.0,
                             **overrides) -> SolverConfig:
-    """Information weights from the sensor noise densities: discrete-time
-    sigma = density * sqrt(rate)."""
+    """Whitened information weights from sensor noise models.
+
+    IMU: discrete-time sigma = density * sqrt(rate); with whitening the
+    extra ScaledLoss the reference applies (1.6e-5) becomes 1.0.
+    Bearing: angular sigma ~ pixel_sigma / focal_length."""
     imus = [s for s in spec.sensors if s.type == "imu"]
+    cams = [s for s in spec.sensors if s.type == "camera"]
     kw = {}
     if imus:
         i = imus[0]
@@ -230,5 +235,10 @@ def solver_config_from_spec(spec: SystemSpec, imu_rate: float = 200.0,
                                       * np.sqrt(rate))
         kw["accel_sqrt_info"] = 1.0 / (i.accelerometer_noise_density
                                        * np.sqrt(rate))
+        kw["inertial_scale"] = 1.0
+    if cams:
+        fx = float(cams[0].intrinsics[2])
+        kw["bearing_sqrt_info"] = fx / pixel_sigma
+        kw["pixel_sqrt_info"] = 1.0 / pixel_sigma
     kw.update(overrides)
     return SolverConfig(**kw)

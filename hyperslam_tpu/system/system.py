@@ -80,12 +80,19 @@ class System:
 
     # -- run loop --------------------------------------------------------- #
 
-    def run(self, events: Iterable[tuple], progress_every: float = 0.0):
+    def run(self, events: Iterable[tuple], progress_every: float = 0.0,
+            should_stop=None):
         """Consume ("imu", t, gyro, accel) / ("stereo", t, img0, img1) /
-        ("tracks", t, cam_idx, tids, px) / ("prior", t, T) events."""
+        ("tracks", t, cam_idx, tids, px) / ("prior", t, T) events.
+
+        ``should_stop``: optional callable polled between events — the
+        equivalent of the reference's SIGINT/SIGUSR1 shutdown path
+        (``apps/hyperslam/main.cpp:48-98``)."""
         t_wall = time.time()
         n = 0
         for e in events:
+            if should_stop is not None and should_stop():
+                break
             kind = e[0]
             if kind == "imu":
                 self.on_imu(e[1], e[2], e[3])

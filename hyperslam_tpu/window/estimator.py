@@ -219,6 +219,17 @@ class SlidingWindowEstimator:
         t = self._local(stamp)
         if t < self.t0:
             return  # out-of-scope message: drop (reference abstract.cpp:115)
+        if not self._inertial:
+            # Initialize the gravity direction from the first specific-force
+            # sample: at (near) rest, a_meas = -R_bw g, and the bootstrap
+            # pose is identity, so g ~ -a_meas scaled to the fixed norm.
+            # (The reference hard-codes -norm*e0, environment/abstract.cpp:64,
+            # and relies on optimization to rotate it; seeding from data is
+            # strictly better conditioned.)
+            a = np.asarray(accel, np.float64)
+            norm = np.linalg.norm(a)
+            if norm > 1.0:
+                self.gravity = -a / norm * s2.GRAVITY_NORM
         self._extend_to(t)
         self._inertial.append(
             (t, np.concatenate([np.asarray(gyro), np.asarray(accel)])))
