@@ -285,6 +285,34 @@ def reduce_system(sys: LinearSystem, num_landmarks: int):
     return H, g, Hll, gl, W
 
 
+def _inv3x3(m):
+    """Closed-form batched 3x3 inverse (adjugate/determinant).
+
+    TPU's LU decomposition lacks an f64 kernel; the blocks here are tiny
+    SPD matrices, for which the adjugate form is both faster (pure VPU
+    elementwise math, no lapack call) and dtype-agnostic."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g_, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g_)
+    C = d * h - e * g_
+    D = -(b * i - c * h)
+    E = a * i - c * g_
+    F = -(a * h - b * g_)
+    G = b * f - c * e
+    Hc = -(a * f - c * d)
+    I = a * e - b * d
+    det = a * A + b * B + c * C
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    adj = jnp.stack([
+        jnp.stack([A, D, G], -1),
+        jnp.stack([B, E, Hc], -1),
+        jnp.stack([C, F, I], -1),
+    ], -2)
+    return adj / det[..., None, None]
+
+
 def solve_reduced(H, g, Hll, gl, W, masks: Masks, lam, cfg: SolverConfig):
     """Schur-eliminate landmarks from assembled blocks and solve.
 
@@ -293,7 +321,7 @@ def solve_reduced(H, g, Hll, gl, W, masks: Masks, lam, cfg: SolverConfig):
     lmfree = masks.landmarks.astype(dtype)
     eye3 = jnp.eye(3, dtype=dtype)
     Hll = Hll + (cfg.landmark_jitter + (1.0 - lmfree))[:, None, None] * eye3
-    Hll_inv = jnp.linalg.inv(Hll)
+    Hll_inv = _inv3x3(Hll)
 
     S = H - jnp.einsum("ldi,lij,lej->de", W, Hll_inv, W)
     gs = g - jnp.einsum("ldi,lij,lj->d", W, Hll_inv, gl)

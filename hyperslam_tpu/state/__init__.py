@@ -1,0 +1,1 @@
+from . import bspline  # noqa: F401

@@ -1,0 +1,1 @@
+from . import nplie, s2, se3, so3  # noqa: F401
