@@ -81,22 +81,25 @@ def distributed_optimize(params: Params, cams: CameraCalib, imu: ImuCalib,
     cost0 = cost_shard(params, cams, imu, factors)
 
     def body(carry, _):
-        p, lam, cost = carry
-        H, g, Hll, gl, W = reduce_shard(p, cams, imu, factors, masks)
+        p, c, i, lam, cost = carry
+        H, g, Hll, gl, W = reduce_shard(p, c, i, factors, masks)
         dp, dl = ba.solve_reduced(H, g, Hll, gl, W, masks, lam, cfg)
-        trial = ba.apply_delta(p, dp, dl, masks, cfg)
-        trial_cost = cost_shard(trial, cams, imu, factors)
+        tp, tc, ti = ba.apply_delta(p, c, i, dp, dl, masks, cfg)
+        trial_cost = cost_shard(tp, tc, ti, factors)
         accept = trial_cost < cost
-        p_next = jax.tree.map(lambda a, b: jnp.where(accept, a, b), trial, p)
+        sel = lambda a, b: jnp.where(accept, a, b)
+        p_next = jax.tree.map(sel, tp, p)
+        c_next = jax.tree.map(sel, tc, c)
+        i_next = jax.tree.map(sel, ti, i)
         cost_next = jnp.where(accept, trial_cost, cost)
         lam_next = jnp.clip(
             jnp.where(accept, lam * cfg.lambda_down, lam * cfg.lambda_up),
             1e-10, 1e6)
-        return (p_next, lam_next, cost_next), accept
+        return (p_next, c_next, i_next, lam_next, cost_next), accept
 
-    init = (params, jnp.asarray(cfg.init_lambda, dtype), cost0)
-    (p_fin, lam_fin, cost_fin), accepted = jax.lax.scan(
+    init = (params, cams, imu, jnp.asarray(cfg.init_lambda, dtype), cost0)
+    (p_fin, c_fin, i_fin, lam_fin, cost_fin), accepted = jax.lax.scan(
         body, init, None, length=cfg.max_iterations)
-    return p_fin, ba.SolveStats(
+    return p_fin, c_fin, i_fin, ba.SolveStats(
         initial_cost=cost0, final_cost=cost_fin, lambda_final=lam_fin,
         accepted=accepted)

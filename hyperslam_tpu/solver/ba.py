@@ -35,8 +35,8 @@ from ..factors import losses
 from ..factors import residuals as res
 from ..state import bspline
 from ..variables import s2
-from .problem import (CameraCalib, Factors, ImuCalib, Masks, Params,
-                      SolverConfig, layout_dims)
+from .problem import (CameraCalib, Factors, ImuCalib, Layout, Masks, Params,
+                      SolverConfig, make_layout)
 
 __all__ = ["linearize", "solve_normal_equations", "apply_delta",
            "compute_cost", "optimize", "LinearSystem", "SolveStats"]
@@ -58,14 +58,25 @@ class SolveStats(NamedTuple):
     accepted: jnp.ndarray  # (iters,) bool
 
 
-def _col_mask(masks: Masks, K, Kb, dtype):
-    D, off_bg, off_ba, off_g = layout_dims(K, Kb)
-    return jnp.concatenate([
+def _col_mask(masks: Masks, lay: Layout, dtype):
+    parts = [
         jnp.repeat(masks.knots.astype(dtype), 6),
         jnp.repeat(masks.bias.astype(dtype), 3),
         jnp.repeat(masks.bias.astype(dtype), 3),
         jnp.full((2,), masks.gravity, dtype),
-    ])
+    ]
+    # Self-calibration columns (present iff the mask group exists) — the
+    # reference's per-sensor-parameter constancy flags
+    # (ceres/optimizer.cpp:56-69, manifolds/sensors/*).
+    if lay.cext >= 0:
+        parts.append(jnp.repeat(masks.cam_ext.astype(dtype), 6))
+    if lay.cintr >= 0:
+        parts.append(jnp.repeat(masks.cam_intr.astype(dtype), 4))
+    if lay.cdist >= 0:
+        parts.append(jnp.repeat(masks.cam_dist.astype(dtype), 4))
+    if lay.iext >= 0:
+        parts.append(jnp.full((6,), masks.imu_ext, dtype))
+    return jnp.concatenate(parts)
 
 
 def _dense_row(J_block, cols, D):
@@ -78,9 +89,9 @@ def _knot_cols(s):
     return 6 * s + jnp.arange(24)
 
 
-def _linearize_bearing(params: Params, calib: CameraCalib, f, cfg: SolverConfig):
-    K, Kb = params.num_knots, params.num_bias_knots
-    D, *_ = layout_dims(K, Kb)
+def _linearize_bearing(params: Params, calib: CameraCalib, f,
+                       cfg: SolverConfig, lay: Layout):
+    D = lay.D
     dtype = params.knots.dtype
     order = cfg.order
 
@@ -89,20 +100,26 @@ def _linearize_bearing(params: Params, calib: CameraCalib, f, cfg: SolverConfig)
         T_bs = calib.T_bs[cam_i]
         lm = params.landmarks[lm_i]
 
-        def g(dk, dl):
+        def g(dk, dl, dce):
             c = res.retract_pose_knots(ctrl, dk.reshape(order, 6))
-            return res.bearing_residual(c, u, T_bs, lm + dl, meas)
+            Tb = res.retract_pose_knots(T_bs, dce)
+            return res.bearing_residual(c, u, Tb, lm + dl, meas)
 
         zk = jnp.zeros(order * 6, dtype)
         zl = jnp.zeros(3, dtype)
-        r_raw = g(zk, zl)
-        Jk, Jl = jax.jacfwd(g, argnums=(0, 1))(zk, zl)
+        zc = jnp.zeros(6, dtype)
+        r_raw = g(zk, zl, zc)
+        args = (0, 1, 2) if lay.cext >= 0 else (0, 1)
+        Js = jax.jacfwd(g, argnums=args)(zk, zl, zc)
+        Jk, Jl = Js[0], Js[1]
         # Robust weight in RAW residual units (the reference's Huber delta is
         # on the metric distance itself, ceres/optimizer.cpp:189-210); the
         # information weight scales residual and Jacobian afterwards.
         w = losses.huber_weight(jnp.sum(r_raw * r_raw), cfg.bearing_huber)
         sw = jnp.sqrt(w) * cfg.bearing_sqrt_info * active
         Jp = _dense_row(Jk, _knot_cols(s), D)
+        if lay.cext >= 0:
+            Jp = Jp.at[:, lay.cext + 6 * cam_i + jnp.arange(6)].set(Js[2])
         return r_raw * sw, Jp * sw, Jl * sw, lm_i
 
     r, Jp, Jl, lm_i = jax.vmap(one)(f.s, f.u, f.cam, f.lm, f.meas, f.active)
@@ -112,9 +129,9 @@ def _linearize_bearing(params: Params, calib: CameraCalib, f, cfg: SolverConfig)
         lm_idx=jnp.repeat(lm_i, m))
 
 
-def _linearize_pixel(params: Params, calib: CameraCalib, f, cfg: SolverConfig):
-    K, Kb = params.num_knots, params.num_bias_knots
-    D, *_ = layout_dims(K, Kb)
+def _linearize_pixel(params: Params, calib: CameraCalib, f,
+                     cfg: SolverConfig, lay: Layout):
+    D = lay.D
     dtype = params.knots.dtype
     order = cfg.order
 
@@ -125,17 +142,36 @@ def _linearize_pixel(params: Params, calib: CameraCalib, f, cfg: SolverConfig):
         dist = calib.distortion[cam_i]
         lm = params.landmarks[lm_i]
 
-        def g(dk, dl):
+        def g(dk, dl, dce, dintr, ddist):
             c = res.retract_pose_knots(ctrl, dk.reshape(order, 6))
-            return res.pixel_residual(c, u, T_bs, intr, dist, lm + dl, meas)
+            Tb = res.retract_pose_knots(T_bs, dce)
+            return res.pixel_residual(c, u, Tb, intr + dintr, dist + ddist,
+                                      lm + dl, meas)
 
         zk = jnp.zeros(order * 6, dtype)
         zl = jnp.zeros(3, dtype)
-        r_raw = g(zk, zl)
-        Jk, Jl = jax.jacfwd(g, argnums=(0, 1))(zk, zl)
+        zc = jnp.zeros(6, dtype)
+        z4 = jnp.zeros(4, dtype)
+        r_raw = g(zk, zl, zc, z4, z4)
+        args = [0, 1]
+        if lay.cext >= 0:
+            args.append(2)
+        if lay.cintr >= 0:
+            args.append(3)
+        if lay.cdist >= 0:
+            args.append(4)
+        Js = jax.jacfwd(g, argnums=tuple(args))(zk, zl, zc, z4, z4)
+        by_arg = dict(zip(args, Js))
+        Jk, Jl = by_arg[0], by_arg[1]
         w = losses.huber_weight(jnp.sum(r_raw * r_raw), cfg.pixel_huber)
         sw = jnp.sqrt(w) * cfg.pixel_sqrt_info * active
         Jp = _dense_row(Jk, _knot_cols(s), D)
+        if lay.cext >= 0:
+            Jp = Jp.at[:, lay.cext + 6 * cam_i + jnp.arange(6)].set(by_arg[2])
+        if lay.cintr >= 0:
+            Jp = Jp.at[:, lay.cintr + 4 * cam_i + jnp.arange(4)].set(by_arg[3])
+        if lay.cdist >= 0:
+            Jp = Jp.at[:, lay.cdist + 4 * cam_i + jnp.arange(4)].set(by_arg[4])
         return r_raw * sw, Jp * sw, Jl * sw, lm_i
 
     r, Jp, Jl, lm_i = jax.vmap(one)(f.s, f.u, f.cam, f.lm, f.meas, f.active)
@@ -145,9 +181,8 @@ def _linearize_pixel(params: Params, calib: CameraCalib, f, cfg: SolverConfig):
         lm_idx=jnp.repeat(lm_i, m))
 
 
-def _linearize_prior(params: Params, f, cfg: SolverConfig):
-    K, Kb = params.num_knots, params.num_bias_knots
-    D, *_ = layout_dims(K, Kb)
+def _linearize_prior(params: Params, f, cfg: SolverConfig, lay: Layout):
+    D = lay.D
     dtype = params.knots.dtype
     order = cfg.order
     T_bs_id = jnp.zeros(7, dtype).at[0].set(1.0)
@@ -175,9 +210,8 @@ def _linearize_prior(params: Params, f, cfg: SolverConfig):
 
 
 def _linearize_inertial(params: Params, imu: ImuCalib, f, cfg: SolverConfig,
-                        dt, bias_dt):
-    K, Kb = params.num_knots, params.num_bias_knots
-    D, off_bg, off_ba, off_g = layout_dims(K, Kb)
+                        lay: Layout, dt, bias_dt):
+    D, off_bg, off_ba, off_g = lay.D, lay.bg, lay.ba, lay.grav
     dtype = params.knots.dtype
     order, border = cfg.order, cfg.bias_order
     # Per-axis sqrt-information: [gyro x3, accel x3].
@@ -191,23 +225,27 @@ def _linearize_inertial(params: Params, imu: ImuCalib, f, cfg: SolverConfig,
         bg_ctrl = bspline.gather_support(params.bias_g, bs, border)
         ba_ctrl = bspline.gather_support(params.bias_a, bs, border)
 
-        def g(dk, dbg, dba, dgr):
+        def g(dk, dbg, dba, dgr, die):
             c = res.retract_pose_knots(ctrl, dk.reshape(order, 6))
             bg = bspline.interp_euclidean(
                 bg_ctrl + dbg.reshape(border, 3), bu, border)
             ba = bspline.interp_euclidean(
                 ba_ctrl + dba.reshape(border, 3), bu, border)
             grav = s2.retract(params.gravity, dgr, norm=s2.GRAVITY_NORM)
+            T_bs = res.retract_pose_knots(imu.T_bs, die)
             return res.inertial_residual(
-                c, u, dt, bg, ba, imu.T_bs, grav,
+                c, u, dt, bg, ba, T_bs, grav,
                 imu.gyro_intrinsics, imu.accel_intrinsics,
                 imu.g_sensitivity, imu.lever_arm, meas) * sinfo
 
         zk = jnp.zeros(order * 6, dtype)
         zb = jnp.zeros(border * 3, dtype)
         zg = jnp.zeros(2, dtype)
-        r = g(zk, zb, zb, zg)
-        Jk, Jbg, Jba, Jg = jax.jacfwd(g, argnums=(0, 1, 2, 3))(zk, zb, zb, zg)
+        ze = jnp.zeros(6, dtype)
+        r = g(zk, zb, zb, zg, ze)
+        args = (0, 1, 2, 3, 4) if lay.iext >= 0 else (0, 1, 2, 3)
+        Js = jax.jacfwd(g, argnums=args)(zk, zb, zb, zg, ze)
+        Jk, Jbg, Jba, Jg = Js[0], Js[1], Js[2], Js[3]
         # Reference: ScaledLoss(1.6e-5) on inertial residuals.
         sw = sq_scale * active
         Jp = _dense_row(Jk, _knot_cols(s), D)
@@ -216,6 +254,8 @@ def _linearize_inertial(params: Params, imu: ImuCalib, f, cfg: SolverConfig,
         Jp = Jp.at[:, bg_cols].set(Jbg)
         Jp = Jp.at[:, ba_cols].set(Jba)
         Jp = Jp.at[:, off_g:off_g + 2].set(Jg)
+        if lay.iext >= 0:
+            Jp = Jp.at[:, lay.iext:lay.iext + 6].set(Js[4])
         return r * sw, Jp * sw
 
     r, Jp = jax.vmap(one)(f.s, f.u, f.bias_s, f.bias_u, f.meas, f.active)
@@ -225,29 +265,35 @@ def _linearize_inertial(params: Params, imu: ImuCalib, f, cfg: SolverConfig,
         J_lm=jnp.zeros((R, 3), dtype), lm_idx=jnp.zeros(R, jnp.int32))
 
 
+def problem_layout(params: Params, cams: CameraCalib, masks: Masks) -> Layout:
+    return make_layout(params.num_knots, params.num_bias_knots,
+                       cams.T_bs.shape[0], masks)
+
+
 def linearize(params: Params, cams: CameraCalib, imu: ImuCalib,
               factors: Factors, masks: Masks, cfg: SolverConfig,
               dt, bias_dt) -> LinearSystem:
     """Linearize every factor type and stack into one weighted row system."""
-    K, Kb = params.num_knots, params.num_bias_knots
     dtype = params.knots.dtype
+    lay = problem_layout(params, cams, masks)
     systems = []
     if factors.bearing.s.shape[0]:
-        systems.append(_linearize_bearing(params, cams, factors.bearing, cfg))
+        systems.append(
+            _linearize_bearing(params, cams, factors.bearing, cfg, lay))
     if factors.pixel.s.shape[0]:
-        systems.append(_linearize_pixel(params, cams, factors.pixel, cfg))
+        systems.append(_linearize_pixel(params, cams, factors.pixel, cfg, lay))
     if factors.inertial.s.shape[0]:
         systems.append(
-            _linearize_inertial(params, imu, factors.inertial, cfg, dt,
+            _linearize_inertial(params, imu, factors.inertial, cfg, lay, dt,
                                 bias_dt))
     if factors.prior.s.shape[0]:
-        systems.append(_linearize_prior(params, factors.prior, cfg))
+        systems.append(_linearize_prior(params, factors.prior, cfg, lay))
     J = jnp.concatenate([s.J for s in systems], 0)
     r = jnp.concatenate([s.r for s in systems], 0)
     J_lm = jnp.concatenate([s.J_lm for s in systems], 0)
     lm_idx = jnp.concatenate([s.lm_idx for s in systems], 0)
-    # Freeze columns (old knots / fixed gravity / fixed biases).
-    cm = _col_mask(masks, K, Kb, dtype)
+    # Freeze columns (old knots / fixed gravity / fixed biases / fixed calib).
+    cm = _col_mask(masks, lay, dtype)
     J = J * cm[None, :]
     J_lm = J_lm * masks.landmarks.astype(dtype)[lm_idx][:, None]
     return LinearSystem(J=J, r=r, J_lm=J_lm, lm_idx=lm_idx)
@@ -348,9 +394,16 @@ def solve_normal_equations(sys: LinearSystem, masks: Masks, lam,
     return solve_reduced(H, g, Hll, gl, W, masks, lam, cfg)
 
 
-def apply_delta(params: Params, dp, dl, masks: Masks, cfg: SolverConfig):
+def apply_delta(params: Params, cams: CameraCalib, imu: ImuCalib,
+                dp, dl, masks: Masks, cfg: SolverConfig):
+    """Retract the solved tangent step onto (state, camera calib, IMU calib).
+
+    Frozen groups receive an exactly-zero delta (their Jacobian columns are
+    zeroed and the identity placed on the normal-equation diagonal), so
+    calibration only moves when its mask frees it."""
     K, Kb = params.num_knots, params.num_bias_knots
-    D, off_bg, off_ba, off_g = layout_dims(K, Kb)
+    lay = problem_layout(params, cams, masks)
+    off_bg, off_ba, off_g = lay.bg, lay.ba, lay.grav
     dtype = params.knots.dtype
     dp = dp.astype(dtype)   # solve may run in f64 (see _solve_dtype)
     dl = dl.astype(dtype)
@@ -358,13 +411,27 @@ def apply_delta(params: Params, dp, dl, masks: Masks, cfg: SolverConfig):
     dbg = dp[off_bg:off_ba].reshape(Kb, 3)
     dba = dp[off_ba:off_g].reshape(Kb, 3)
     dgr = dp[off_g:off_g + 2]
-    return params.replace(
+    params = params.replace(
         knots=res.retract_pose_knots(params.knots, dk),
         bias_g=params.bias_g + dbg,
         bias_a=params.bias_a + dba,
         gravity=s2.retract(params.gravity, dgr, norm=s2.GRAVITY_NORM),
         landmarks=params.landmarks + dl * masks.landmarks.astype(dtype)[:, None],
     )
+    C = lay.C
+    if lay.cext >= 0:
+        dce = dp[lay.cext:lay.cext + 6 * C].reshape(C, 6)
+        cams = cams.replace(T_bs=res.retract_pose_knots(cams.T_bs, dce))
+    if lay.cintr >= 0:
+        di = dp[lay.cintr:lay.cintr + 4 * C].reshape(C, 4)
+        cams = cams.replace(intrinsics=cams.intrinsics + di)
+    if lay.cdist >= 0:
+        dd = dp[lay.cdist:lay.cdist + 4 * C].reshape(C, 4)
+        cams = cams.replace(distortion=cams.distortion + dd)
+    if lay.iext >= 0:
+        die = dp[lay.iext:lay.iext + 6]
+        imu = imu.replace(T_bs=res.retract_pose_knots(imu.T_bs, die))
+    return params, cams, imu
 
 
 def _rho_huber(s, delta):
@@ -438,6 +505,9 @@ def optimize(params: Params, cams: CameraCalib, imu: ImuCalib,
              dt, bias_dt):
     """Run the fixed-iteration LM loop.  Jittable; shapes never change.
 
+    Returns ``(params, cams, imu, stats)`` — calibration is part of the
+    optimized state (frozen by default via ``masks``, see ``Masks``).
+
     Reference analogue: ``Optimizer<CERES>::optimize`` with max 5 LM
     iterations (``ceres/optimizer.cpp:276-279``)."""
     L = params.num_landmarks
@@ -445,23 +515,25 @@ def optimize(params: Params, cams: CameraCalib, imu: ImuCalib,
     cost0 = compute_cost(params, cams, imu, factors, cfg, dt, bias_dt)
 
     def body(carry, _):
-        p, lam, cost = carry
-        sys = linearize(p, cams, imu, factors, masks, cfg, dt, bias_dt)
+        p, c, i, lam, cost = carry
+        sys = linearize(p, c, i, factors, masks, cfg, dt, bias_dt)
         dp, dl = solve_normal_equations(sys, masks, lam, L, cfg)
-        trial = apply_delta(p, dp, dl, masks, cfg)
-        trial_cost = compute_cost(trial, cams, imu, factors, cfg, dt, bias_dt)
+        tp, tc, ti = apply_delta(p, c, i, dp, dl, masks, cfg)
+        trial_cost = compute_cost(tp, tc, ti, factors, cfg, dt, bias_dt)
         accept = trial_cost < cost
-        p_next = jax.tree.map(
-            lambda a, b: jnp.where(accept, a, b), trial, p)
+        sel = lambda a, b: jnp.where(accept, a, b)
+        p_next = jax.tree.map(sel, tp, p)
+        c_next = jax.tree.map(sel, tc, c)
+        i_next = jax.tree.map(sel, ti, i)
         cost_next = jnp.where(accept, trial_cost, cost)
         lam_next = jnp.where(accept, lam * cfg.lambda_down,
                              lam * cfg.lambda_up)
         lam_next = jnp.clip(lam_next, 1e-10, 1e6)
-        return (p_next, lam_next, cost_next), accept
+        return (p_next, c_next, i_next, lam_next, cost_next), accept
 
-    init = (params, jnp.asarray(cfg.init_lambda, dtype), cost0)
-    (p_fin, lam_fin, cost_fin), accepted = jax.lax.scan(
+    init = (params, cams, imu, jnp.asarray(cfg.init_lambda, dtype), cost0)
+    (p_fin, c_fin, i_fin, lam_fin, cost_fin), accepted = jax.lax.scan(
         body, init, None, length=cfg.max_iterations)
-    return p_fin, SolveStats(
+    return p_fin, c_fin, i_fin, SolveStats(
         initial_cost=cost0, final_cost=cost_fin, lambda_final=lam_fin,
         accepted=accepted)

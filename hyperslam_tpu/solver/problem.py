@@ -12,14 +12,20 @@ block order [state knots | sensor params | observation params]
 (``ceres/costs/exteroceptive.cpp:25-99``):
 
     [ pose knots: K * 6 | gyro bias knots: Kb * 3 | accel bias knots: Kb * 3
-      | gravity: 2 ]
+      | gravity: 2 | cam extrinsics: C * 6 | cam intrinsics: C * 4
+      | cam distortion: C * 4 | imu extrinsics: 6 ]
+
+The sensor-calibration columns realize the reference's self-calibration
+(every sensor parameter is a registered, optionally-constant Ceres block,
+``ceres/optimizer.cpp:56-69`` + ``manifolds/sensors/*``); they are frozen by
+default via ``Masks`` and freed per-group for online calibration.
 
 Landmarks (L * 3) are Schur-eliminated, not part of the reduced system.
 """
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, NamedTuple
 
 import jax.numpy as jnp
 from flax import struct
@@ -172,19 +178,40 @@ class Masks:
 
     The reference freezes knots at/below the window lower bound instead of
     marginalizing (``ceres/optimizer.cpp:322-328``) and marks inactive
-    landmark slots; same semantics here, imposed on the normal equations."""
+    landmark slots; same semantics here, imposed on the normal equations.
+
+    The calibration masks implement the reference's per-sensor-parameter
+    constancy flags (``ceres/manifolds/sensors/*`` ``setConstant`` setters):
+    ``None`` (the default) means fully frozen — the reference's default
+    operating mode — so existing constructors keep their behavior."""
     knots: jnp.ndarray      # (K,)
     landmarks: jnp.ndarray  # (L,)
     gravity: jnp.ndarray    # () scalar {0,1}
     bias: jnp.ndarray       # (Kb,) shared by gyro/accel knots
+    cam_ext: Any = None     # (C,) camera extrinsics T_bs free?
+    cam_intr: Any = None    # (C,) camera intrinsics free?
+    cam_dist: Any = None    # (C,) camera distortion free?
+    imu_ext: Any = None     # () IMU extrinsics free?
 
     @classmethod
-    def all_free(cls, K, L, Kb, dtype=jnp.float32, gravity_free=True):
+    def all_free(cls, K, L, Kb, dtype=jnp.float32, gravity_free=True,
+                 C=0, cam_ext=False, cam_intr=False, cam_dist=False,
+                 imu_ext=False):
+        def cmask(flag):
+            # None => the calibration columns are not even traced (static);
+            # an array => columns exist and the mask freezes/frees per camera.
+            if not flag:
+                return None
+            return jnp.full((C,), 1.0, dtype)
         return cls(
             knots=jnp.ones(K, dtype),
             landmarks=jnp.ones(L, dtype),
             gravity=jnp.asarray(1.0 if gravity_free else 0.0, dtype),
             bias=jnp.ones(Kb, dtype),
+            cam_ext=cmask(cam_ext),
+            cam_intr=cmask(cam_intr),
+            cam_dist=cmask(cam_dist),
+            imu_ext=jnp.asarray(1.0, dtype) if imu_ext else None,
         )
 
 
@@ -210,10 +237,50 @@ class SolverConfig(struct.PyTreeNode):
     landmark_jitter: float = struct.field(pytree_node=False, default=1e-6)
 
 
+class Layout(NamedTuple):
+    """Column offsets of the reduced tangent-space system.
+
+    Calibration groups are only materialized (offset >= 0) when the
+    corresponding ``Masks`` field is present; otherwise their columns do not
+    exist and the linearizers skip the extra autodiff tangents entirely."""
+    D: int
+    bg: int          # gyro bias knots (Kb * 3)
+    ba: int          # accel bias knots (Kb * 3)
+    grav: int        # gravity tangent (2)
+    cext: int = -1   # camera extrinsics (C * 6)
+    cintr: int = -1  # camera intrinsics (C * 4)
+    cdist: int = -1  # camera distortion (C * 4)
+    iext: int = -1   # IMU extrinsics (6)
+    C: int = 0
+
+
+def make_layout(K: int, Kb: int, C: int = 0, masks: "Masks" = None) -> Layout:
+    """Build the reduced-system layout; calib groups appear iff their mask
+    is present (not None) in ``masks``."""
+    bg = K * 6
+    ba = bg + Kb * 3
+    grav = ba + Kb * 3
+    off = grav + 2
+    cext = cintr = cdist = iext = -1
+    if masks is not None:
+        if masks.cam_ext is not None:
+            cext = off
+            off += 6 * C
+        if masks.cam_intr is not None:
+            cintr = off
+            off += 4 * C
+        if masks.cam_dist is not None:
+            cdist = off
+            off += 4 * C
+        if masks.imu_ext is not None:
+            iext = off
+            off += 6
+    return Layout(D=off, bg=bg, ba=ba, grav=grav, cext=cext, cintr=cintr,
+                  cdist=cdist, iext=iext, C=C)
+
+
 def layout_dims(K: int, Kb: int):
-    """Column offsets of the reduced system: returns (D, off_bias_g,
-    off_bias_a, off_gravity)."""
-    off_bg = K * 6
-    off_ba = off_bg + Kb * 3
-    off_g = off_ba + Kb * 3
-    return off_g + 2, off_bg, off_ba, off_g
+    """Legacy helper: offsets of the calib-frozen layout as a 4-tuple
+    (D, off_bias_g, off_bias_a, off_gravity)."""
+    lay = make_layout(K, Kb)
+    return lay.D, lay.bg, lay.ba, lay.grav

@@ -18,7 +18,9 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..state.bspline import _blending_matrix_np, _cumulative_blending_matrix_np
+# NOTE: ..state.bspline imports this package's siblings (se3/so3), so the
+# blending-matrix helpers are imported lazily inside the functions that
+# need them to avoid a circular import at package-init time.
 
 __all__ = [
     "quat_mul", "quat_conj", "quat_rotate", "quat_to_matrix",
@@ -142,6 +144,7 @@ def eval_se3(knots, t, t0, dt, order=4, n_valid=None):
     x = (t - t0) / dt
     s = np.clip(np.floor(x).astype(np.int64), 0, n - order)
     u = x - s
+    from ..state.bspline import _cumulative_blending_matrix_np
     Mt = _cumulative_blending_matrix_np(order)
     powers = np.stack([u**p for p in range(order)], -1)
     lam = powers @ Mt.T                      # (..., k)

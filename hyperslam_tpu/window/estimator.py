@@ -61,6 +61,14 @@ class WindowConfig:
     max_bias_knots: int = 12
     bias_order: int = 4
     dtype: object = jnp.float32
+    # Online self-calibration (reference: per-sensor-parameter constancy
+    # flags, ceres/optimizer.cpp:56-69 + manifolds/sensors/* — its default
+    # configs keep calibration constant, as do these defaults).  NOTE:
+    # freeing extrinsics adds gauge freedom; anchor with pose priors.
+    calibrate_cam_extrinsics: bool = False
+    calibrate_cam_intrinsics: bool = False
+    calibrate_cam_distortion: bool = False
+    calibrate_imu_extrinsics: bool = False
 
 
 @dataclasses.dataclass
@@ -412,12 +420,30 @@ class SlidingWindowEstimator:
         first_free = max(0, self.num_knots - n_window)
         knots[:first_free] = 0.0
         has_imu = bool(self._inertial)
+        C = int(self.cams.T_bs.shape[0])
+
+        def cmask(flag, free_first=True):
+            if not flag:
+                return None
+            m = np.ones(C, np.float32)
+            if not free_first:
+                # freeze camera 0 to pin the body frame (gauge)
+                m[0] = 0.0
+            return jnp.asarray(m)
+
         return Masks(
             knots=jnp.asarray(knots),
             landmarks=jnp.asarray(self._lm_active),
             gravity=jnp.asarray(1.0 if has_imu else 0.0, np.float32),
             bias=jnp.ones(w.max_bias_knots, np.float32) if has_imu
             else jnp.zeros(w.max_bias_knots, np.float32),
+            # Extrinsics of cam0 stay frozen (it defines the body frame
+            # gauge together with the pose spline); cam1..C-1 calibrate.
+            cam_ext=cmask(w.calibrate_cam_extrinsics, free_first=False),
+            cam_intr=cmask(w.calibrate_cam_intrinsics),
+            cam_dist=cmask(w.calibrate_cam_distortion),
+            imu_ext=(jnp.asarray(1.0, np.float32)
+                     if w.calibrate_imu_extrinsics else None),
         )
 
     def _params(self) -> Params:
@@ -437,7 +463,7 @@ class SlidingWindowEstimator:
             return None
         factors = self._build_factors()
         masks = self._build_masks()
-        params, stats = ba.optimize(
+        params, cams, imu, stats = ba.optimize(
             self._params(), self.cams, self.imu, factors, masks, self.solver,
             jnp.asarray(self.w.knot_separation, self.dtype),
             jnp.asarray(self.w.bias_separation, self.dtype))
@@ -447,6 +473,19 @@ class SlidingWindowEstimator:
         self.gravity = np.array(params.gravity, np.float64)
         self.bias_g = np.array(params.bias_g, np.float64)
         self.bias_a = np.array(params.bias_a, np.float64)
+        # refined calibration (identical to the inputs unless a calibrate_*
+        # flag freed it)
+        w = self.w
+        if (w.calibrate_cam_extrinsics or w.calibrate_cam_intrinsics
+                or w.calibrate_cam_distortion):
+            self.cams = cams
+            self.cams_np = {
+                "T_bs": np.asarray(cams.T_bs, np.float64),
+                "intr": np.asarray(cams.intrinsics, np.float64),
+                "dist": np.asarray(cams.distortion, np.float64),
+            }
+        if w.calibrate_imu_extrinsics:
+            self.imu = imu
         self._solve_count += 1
         self._last_stats = stats
         return stats

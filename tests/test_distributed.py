@@ -26,12 +26,12 @@ def test_distributed_matches_single_chip():
     dt = jnp.asarray(0.1, dtype)
     bdt = jnp.asarray(1.0, dtype)
 
-    p_single, s_single = ba.optimize(
+    p_single, _, _, s_single = ba.optimize(
         params, cams, imu, factors, masks, cfg, dt, bdt)
 
     mesh = Mesh(np.array(jax.devices()[:8]), (dist_ba.AXIS,))
     f_sharded = dist_ba.shard_factors(factors, mesh)
-    p_dist, s_dist = dist_ba.distributed_optimize(
+    p_dist, _, _, s_dist = dist_ba.distributed_optimize(
         params, cams, imu, f_sharded, masks, cfg, dt, bdt, mesh)
 
     np.testing.assert_allclose(

@@ -105,7 +105,7 @@ def test_visual_ba_converges_from_perturbation(key):
     cfg = SolverConfig(max_iterations=10, bearing_sqrt_info=1.0,
                        bearing_huber=1e9)  # no robust cutoff for this test
     imu = ImuCalib.default(dtype)
-    p_fin, stats = ba.optimize(params0, calib, imu, factors, masks, cfg,
+    p_fin, _, _, stats = ba.optimize(params0, calib, imu, factors, masks, cfg,
                                jnp.asarray(DT, dtype), jnp.asarray(1.0, dtype))
     assert float(stats.final_cost) < 1e-10, stats
     # Frozen knots unchanged
@@ -128,7 +128,7 @@ def test_cost_decreases_monotonically(key):
                           bias=masks.bias * 0.0, landmarks=masks.landmarks * 0.0)
     cfg = SolverConfig(max_iterations=6)
     imu = ImuCalib.default(dtype)
-    p_fin, stats = ba.optimize(params0, calib, imu, factors, masks, cfg,
+    p_fin, _, _, stats = ba.optimize(params0, calib, imu, factors, masks, cfg,
                                jnp.asarray(DT, dtype), jnp.asarray(1.0, dtype))
     assert float(stats.final_cost) <= float(stats.initial_cost)
     # landmark mask respected
@@ -146,7 +146,7 @@ def test_inactive_factors_ignored(key):
                            gravity_free=False)
     cfg = SolverConfig(max_iterations=3)
     imu = ImuCalib.default(dtype)
-    p_fin, stats = ba.optimize(gt, calib, imu, factors, masks, cfg,
+    p_fin, _, _, stats = ba.optimize(gt, calib, imu, factors, masks, cfg,
                                jnp.asarray(DT, dtype), jnp.asarray(1.0, dtype))
     assert float(stats.initial_cost) == 0.0
     np.testing.assert_allclose(p_fin.knots, gt.knots, atol=1e-9)
@@ -183,7 +183,7 @@ def test_inertial_only_gravity_recovery(key):
                           landmarks=masks.landmarks * 0.0)
     cfg = SolverConfig(max_iterations=8, gyro_sqrt_info=1.0,
                        accel_sqrt_info=1.0, inertial_scale=1.0)
-    p_fin, stats = ba.optimize(
+    p_fin, _, _, stats = ba.optimize(
         params0, _stereo_calib(dtype), ImuCalib.default(dtype), factors,
         masks, cfg, jnp.asarray(1.0, dtype), jnp.asarray(1.0, dtype))
     np.testing.assert_allclose(p_fin.gravity, g_true, atol=1e-6)
