@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..factors import losses
+from ..factors import preintegration as preint
 from ..factors import residuals as res
 from ..state import bspline
 from ..variables import s2
@@ -265,6 +266,64 @@ def _linearize_inertial(params: Params, imu: ImuCalib, f, cfg: SolverConfig,
         J_lm=jnp.zeros((R, 3), dtype), lm_idx=jnp.zeros(R, jnp.int32))
 
 
+def _linearize_preint(params: Params, f, cfg: SolverConfig, lay: Layout,
+                      dt, bias_dt):
+    """Preintegrated-IMU factors (factors/preintegration.py).
+
+    Endpoint stamps may lie on different (possibly overlapping) spline
+    segments; the two 24-column Jacobian blocks are scattered with ``add``
+    so shared knots accumulate both contributions."""
+    D, off_bg, off_ba, off_g = lay.D, lay.bg, lay.ba, lay.grav
+    dtype = params.knots.dtype
+    order, border = cfg.order, cfg.bias_order
+
+    def one(s_i, u_i, s_j, u_j, bs, bu, dq, dv, dp, dt_ij, Jb, bg0, ba0,
+            sqrt_info, active):
+        ctrl_i = bspline.gather_support(params.knots, s_i, order)
+        ctrl_j = bspline.gather_support(params.knots, s_j, order)
+        bg_ctrl = bspline.gather_support(params.bias_g, bs, border)
+        ba_ctrl = bspline.gather_support(params.bias_a, bs, border)
+
+        def g(dki, dkj, dbg, dba, dgr):
+            ci = res.retract_pose_knots(ctrl_i, dki.reshape(order, 6))
+            cj = res.retract_pose_knots(ctrl_j, dkj.reshape(order, 6))
+            bg = bspline.interp_euclidean(
+                bg_ctrl + dbg.reshape(border, 3), bu, border)
+            ba = bspline.interp_euclidean(
+                ba_ctrl + dba.reshape(border, 3), bu, border)
+            grav = s2.retract(params.gravity, dgr, norm=s2.GRAVITY_NORM)
+            return preint.preint_residual(
+                ci, u_i, cj, u_j, dt, bg, ba, grav,
+                dq, dv, dp, dt_ij, Jb, bg0, ba0)
+
+        zk = jnp.zeros(order * 6, dtype)
+        zb = jnp.zeros(border * 3, dtype)
+        zg = jnp.zeros(2, dtype)
+        r_raw = g(zk, zk, zb, zb, zg)
+        Jki, Jkj, Jbg, Jba, Jg = jax.jacfwd(
+            g, argnums=(0, 1, 2, 3, 4))(zk, zk, zb, zb, zg)
+        # Whiten (per-factor sqrt information from covariance propagation).
+        r = sqrt_info @ r_raw
+        Jki, Jkj = sqrt_info @ Jki, sqrt_info @ Jkj
+        Jbg, Jba, Jg = sqrt_info @ Jbg, sqrt_info @ Jba, sqrt_info @ Jg
+        m = r.shape[0]
+        Jp = jnp.zeros((m, D), dtype)
+        Jp = Jp.at[:, _knot_cols(s_i)].add(Jki)
+        Jp = Jp.at[:, _knot_cols(s_j)].add(Jkj)
+        Jp = Jp.at[:, off_bg + 3 * bs + jnp.arange(border * 3)].set(Jbg)
+        Jp = Jp.at[:, off_ba + 3 * bs + jnp.arange(border * 3)].set(Jba)
+        Jp = Jp.at[:, off_g:off_g + 2].set(Jg)
+        return r * active, Jp * active
+
+    r, Jp = jax.vmap(one)(f.s_i, f.u_i, f.s_j, f.u_j, f.bias_s, f.bias_u,
+                          f.dq, f.dv, f.dp, f.dt_ij, f.J_bias, f.bg0, f.ba0,
+                          f.sqrt_info, f.active)
+    R = r.size
+    return LinearSystem(
+        J=Jp.reshape(-1, D), r=r.reshape(-1),
+        J_lm=jnp.zeros((R, 3), dtype), lm_idx=jnp.zeros(R, jnp.int32))
+
+
 def problem_layout(params: Params, cams: CameraCalib, masks: Masks) -> Layout:
     return make_layout(params.num_knots, params.num_bias_knots,
                        cams.T_bs.shape[0], masks)
@@ -288,6 +347,9 @@ def linearize(params: Params, cams: CameraCalib, imu: ImuCalib,
                                 bias_dt))
     if factors.prior.s.shape[0]:
         systems.append(_linearize_prior(params, factors.prior, cfg, lay))
+    if factors.preint is not None and factors.preint.s_i.shape[0]:
+        systems.append(
+            _linearize_preint(params, factors.preint, cfg, lay, dt, bias_dt))
     J = jnp.concatenate([s.J for s in systems], 0)
     r = jnp.concatenate([s.r for s in systems], 0)
     J_lm = jnp.concatenate([s.J_lm for s in systems], 0)
@@ -494,6 +556,24 @@ def compute_cost(params: Params, cams: CameraCalib, imu: ImuCalib,
             ctrl = bspline.gather_support(params.knots, s, order)
             return res.pose_prior_residual(ctrl, u, T_bs_id, m)
         r = jax.vmap(rr)(f.s, f.u, f.meas) * cfg.prior_sqrt_info
+        total += jnp.sum(jnp.sum(r * r, -1) * f.active)
+
+    if factors.preint is not None and factors.preint.s_i.shape[0]:
+        f = factors.preint
+        def rq(s_i, u_i, s_j, u_j, bs, bu, dq, dv, dp, dt_ij, Jb, bg0, ba0,
+               sqrt_info):
+            ctrl_i = bspline.gather_support(params.knots, s_i, order)
+            ctrl_j = bspline.gather_support(params.knots, s_j, order)
+            bg = bspline.interp_euclidean(
+                bspline.gather_support(params.bias_g, bs, border), bu, border)
+            ba = bspline.interp_euclidean(
+                bspline.gather_support(params.bias_a, bs, border), bu, border)
+            return sqrt_info @ preint.preint_residual(
+                ctrl_i, u_i, ctrl_j, u_j, dt, bg, ba, params.gravity,
+                dq, dv, dp, dt_ij, Jb, bg0, ba0)
+        r = jax.vmap(rq)(f.s_i, f.u_i, f.s_j, f.u_j, f.bias_s, f.bias_u,
+                         f.dq, f.dv, f.dp, f.dt_ij, f.J_bias, f.bg0, f.ba0,
+                         f.sqrt_info)
         total += jnp.sum(jnp.sum(r * r, -1) * f.active)
 
     return 0.5 * total

@@ -155,20 +155,69 @@ class PriorFactors:
 
 
 @struct.dataclass
+class PreintFactors:
+    """Preintegrated IMU factors (the reference's absent INTEGRATING
+    frontend, ``frontends/inertial/forward.hpp:9-13``; see
+    ``factors/preintegration.py``).  One 9-dim residual per keyframe
+    interval, endpoints on (possibly different) pose-spline segments."""
+    s_i: jnp.ndarray      # (F,) int32 pose segment at t_i
+    u_i: jnp.ndarray      # (F,)
+    s_j: jnp.ndarray      # (F,) pose segment at t_j
+    u_j: jnp.ndarray      # (F,)
+    bias_s: jnp.ndarray   # (F,) bias-spline segment at t_i
+    bias_u: jnp.ndarray   # (F,)
+    dq: jnp.ndarray       # (F, 4) preintegrated rotation (wxyz)
+    dv: jnp.ndarray       # (F, 3)
+    dp: jnp.ndarray       # (F, 3)
+    dt_ij: jnp.ndarray    # (F,)
+    J_bias: jnp.ndarray   # (F, 5, 3, 3) [dR/dbg, dv/dbg, dv/dba, dp/dbg, dp/dba]
+    bg0: jnp.ndarray      # (F, 3) bias linearization point
+    ba0: jnp.ndarray      # (F, 3)
+    sqrt_info: jnp.ndarray  # (F, 9, 9) whitening matrix
+    active: jnp.ndarray   # (F,)
+
+    @classmethod
+    def empty(cls, capacity: int, dtype=jnp.float32):
+        dq = jnp.zeros((capacity, 4), dtype).at[:, 0].set(1.0)
+        eye9 = jnp.tile(jnp.eye(9, dtype=dtype), (capacity, 1, 1))
+        return cls(
+            s_i=jnp.zeros(capacity, jnp.int32),
+            u_i=jnp.zeros(capacity, dtype),
+            s_j=jnp.zeros(capacity, jnp.int32),
+            u_j=jnp.zeros(capacity, dtype),
+            bias_s=jnp.zeros(capacity, jnp.int32),
+            bias_u=jnp.zeros(capacity, dtype),
+            dq=dq,
+            dv=jnp.zeros((capacity, 3), dtype),
+            dp=jnp.zeros((capacity, 3), dtype),
+            dt_ij=jnp.full((capacity,), 1.0, dtype),
+            J_bias=jnp.zeros((capacity, 5, 3, 3), dtype),
+            bg0=jnp.zeros((capacity, 3), dtype),
+            ba0=jnp.zeros((capacity, 3), dtype),
+            sqrt_info=eye9,
+            active=jnp.zeros(capacity, dtype),
+        )
+
+
+@struct.dataclass
 class Factors:
     bearing: VisualFactors
     pixel: VisualFactors
     inertial: InertialFactors
     prior: PriorFactors
+    # Optional factor families (None => absent, zero trace/compile cost).
+    preint: Any = None    # PreintFactors
 
     @classmethod
     def empty(cls, bearing_cap=0, pixel_cap=0, inertial_cap=0, prior_cap=0,
-              dtype=jnp.float32):
+              preint_cap=0, dtype=jnp.float32):
         return cls(
             bearing=VisualFactors.empty(bearing_cap, 3, dtype),
             pixel=VisualFactors.empty(pixel_cap, 2, dtype),
             inertial=InertialFactors.empty(inertial_cap, dtype),
             prior=PriorFactors.empty(prior_cap, dtype),
+            preint=(PreintFactors.empty(preint_cap, dtype)
+                    if preint_cap else None),
         )
 
 

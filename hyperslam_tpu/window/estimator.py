@@ -36,10 +36,12 @@ from typing import Dict, List, Optional
 import numpy as np
 import jax.numpy as jnp
 
+from ..factors.preintegration import Preintegrator, PreintMeasurement
 from ..solver import ba
 from ..solver.problem import (CameraCalib, Factors, ImuCalib, InertialFactors,
-                              Masks, Params, PriorFactors, SolverConfig,
-                              VisualFactors)
+                              Masks, Params, PreintFactors, PriorFactors,
+                              SolverConfig, VisualFactors)
+from ..state.bspline import _blending_matrix_np
 from ..variables import nplie, s2
 
 
@@ -61,6 +63,15 @@ class WindowConfig:
     max_bias_knots: int = 12
     bias_order: int = 4
     dtype: object = jnp.float32
+    # Inertial frontend mode: "direct" = one residual per IMU sample
+    # (reference direct.cpp); "preintegrated" = the reference's declared-but-
+    # absent INTEGRATING variant (forward.hpp:9-13) — samples between
+    # keyframes collapse into one 9-dim preintegrated factor
+    # (factors/preintegration.py).
+    inertial_mode: str = "direct"
+    max_preint: int = 0
+    sigma_gyro: float = 1.6968e-4   # noise densities (EuRoC defaults)
+    sigma_accel: float = 2.0e-3
     # Online self-calibration (reference: per-sensor-parameter constancy
     # flags, ceres/optimizer.cpp:56-69 + manifolds/sensors/* — its default
     # configs keep calibration constant, as do these defaults).  NOTE:
@@ -121,6 +132,14 @@ class SlidingWindowEstimator:
         self._bearing: List[tuple] = []   # (t, cam, slot, bearing3)
         self._inertial: List[tuple] = []  # (t, meas6)
         self._prior: List[tuple] = []     # (t, T7)
+        self._preint_meas: List[PreintMeasurement] = []
+        self._pre: Optional[Preintegrator] = None
+        self._gravity_seeded = False
+        # R_bs of the IMU for rotating raw samples into the body frame in
+        # preintegrated mode (assumes neutral IMU intrinsics, like every
+        # standard preintegration pipeline; direct mode keeps the full model).
+        self._imu_R_bs = np.asarray(
+            nplie.quat_to_matrix(np.asarray(self.imu.T_bs[:4], np.float64)))
         self.tracks: Dict[int, TrackRecord] = {}
         self._free_slots = list(range(L - 1, -1, -1))
         self._lm_active = np.zeros(L, np.float32)
@@ -168,7 +187,8 @@ class SlidingWindowEstimator:
         lo, hi = self._range()
         if t < hi:
             return
-        if self._bearing or self._prior or self._inertial:
+        if self._bearing or self._prior or self._inertial \
+                or self._preint_meas:
             self.optimize()
         while True:
             lo, hi = self._range()
@@ -195,6 +215,7 @@ class SlidingWindowEstimator:
         self._bearing = [b for b in self._bearing if b[0] >= lo]
         self._inertial = [b for b in self._inertial if b[0] >= lo]
         self._prior = [b for b in self._prior if b[0] >= lo]
+        self._preint_meas = [m for m in self._preint_meas if m.t_i >= lo]
         observed = {b[2] for b in self._bearing}
         dead = [tid for tid, tr in self.tracks.items()
                 if tr.slot not in observed]
@@ -221,13 +242,14 @@ class SlidingWindowEstimator:
 
     def add_imu(self, stamp: float, gyro: np.ndarray, accel: np.ndarray):
         """One IMU sample -> one direct inertial factor
-        (reference direct.cpp:13-38)."""
+        (reference direct.cpp:13-38), or an increment of the current
+        preintegration interval in ``inertial_mode="preintegrated"``."""
         if not self.bootstrapped:
             self._bootstrap(stamp)
         t = self._local(stamp)
         if t < self.t0:
             return  # out-of-scope message: drop (reference abstract.cpp:115)
-        if not self._inertial:
+        if not self._gravity_seeded:
             # Initialize the gravity direction from the first specific-force
             # sample: at (near) rest, a_meas = -R_bw g, and the bootstrap
             # pose is identity, so g ~ -a_meas scaled to the fixed norm.
@@ -238,9 +260,48 @@ class SlidingWindowEstimator:
             norm = np.linalg.norm(a)
             if norm > 1.0:
                 self.gravity = -a / norm * s2.GRAVITY_NORM
+                self._gravity_seeded = True
         self._extend_to(t)
-        self._inertial.append(
-            (t, np.concatenate([np.asarray(gyro), np.asarray(accel)])))
+        if self.w.inertial_mode == "preintegrated":
+            gyro_b = self._imu_R_bs @ np.asarray(gyro, np.float64)
+            accel_b = self._imu_R_bs @ np.asarray(accel, np.float64)
+            if self._pre is None:
+                self._pre = Preintegrator(
+                    self.w.sigma_gyro, self.w.sigma_accel,
+                    bg0=self._bias_at(t, self.bias_g),
+                    ba0=self._bias_at(t, self.bias_a))
+                self._pre.reset(t, self._pre.bg0, self._pre.ba0)
+            self._pre.add(t, gyro_b, accel_b)
+        else:
+            self._inertial.append(
+                (t, np.concatenate([np.asarray(gyro), np.asarray(accel)])))
+
+    def _bias_at(self, t: float, bias_knots: np.ndarray) -> np.ndarray:
+        """Host-side bias-spline evaluation (numpy; mirrors
+        ``bspline.eval_euclidean``)."""
+        k = self.w.bias_order
+        dtb = self.w.bias_separation
+        nb = bias_knots.shape[0]
+        x = (t - self.bias_t0) / dtb
+        s = int(np.clip(np.floor(x), 0, nb - k))
+        u = x - s
+        M = _blending_matrix_np(k)
+        b = np.power(u, np.arange(k)) @ M.T
+        return b @ bias_knots[s:s + k]
+
+    def _close_preint_interval(self, t: float):
+        """Close the running preintegration interval at keyframe stamp t and
+        emit one preintegrated factor (INTEGRATING frontend)."""
+        if self._pre is None or self._pre.n == 0:
+            return
+        if t <= self._pre.t_i:
+            return
+        self._ensure_bias_knots(t)
+        meas = self._pre.finish(t)
+        if meas.t_i >= self.t0 and len(self._preint_meas) < 4 * self.w.max_preint:
+            self._preint_meas.append(meas)
+        self._pre.reset(t, self._bias_at(t, self.bias_g),
+                        self._bias_at(t, self.bias_a))
 
     def add_visual_tracks(self, stamp: float, cam_indices, track_ids,
                           pixels) -> None:
@@ -255,6 +316,8 @@ class SlidingWindowEstimator:
         if t < self.t0:
             return
         self._extend_to(t)
+        if self.w.inertial_mode == "preintegrated":
+            self._close_preint_interval(t)
 
         cam_indices = np.asarray(cam_indices)
         track_ids = np.asarray(track_ids)
@@ -406,8 +469,65 @@ class SlidingWindowEstimator:
             s=jnp.asarray(s), u=jnp.asarray(u, dtype),
             meas=jnp.asarray(meas, dtype), active=jnp.asarray(act, dtype))
 
+        preint = None
+        if w.max_preint > 0:
+            cap = w.max_preint
+            f64 = np.float64
+            cols = {
+                "s_i": np.zeros(cap, np.int32), "u_i": np.zeros(cap, f64),
+                "s_j": np.zeros(cap, np.int32), "u_j": np.zeros(cap, f64),
+                "bs": np.zeros(cap, np.int32), "bu": np.zeros(cap, f64),
+                "dq": np.zeros((cap, 4), f64), "dv": np.zeros((cap, 3), f64),
+                "dp": np.zeros((cap, 3), f64),
+                "dtij": np.ones(cap, f64),
+                "Jb": np.zeros((cap, 5, 3, 3), f64),
+                "bg0": np.zeros((cap, 3), f64),
+                "ba0": np.zeros((cap, 3), f64),
+                "sqi": np.tile(np.eye(9), (cap, 1, 1)),
+                "act": np.zeros(cap, np.float32),
+            }
+            cols["dq"][:, 0] = 1.0
+            n = min(len(self._preint_meas), cap)
+            if n:
+                d = self._preint_meas[-n:]
+                t_i = np.asarray([m.t_i for m in d])
+                t_j = np.asarray([m.t_j for m in d])
+                self._ensure_bias_knots(float(t_j.max()))
+                cols["s_i"][:n], cols["u_i"][:n] = self._seg(t_i)
+                cols["s_j"][:n], cols["u_j"][:n] = self._seg(t_j)
+                bs_f = np.floor((t_i - self.bias_t0) / w.bias_separation)
+                cols["bs"][:n] = np.clip(bs_f.astype(np.int32), 0,
+                                         w.max_bias_knots - w.bias_order)
+                cols["bu"][:n] = ((t_i - self.bias_t0) / w.bias_separation
+                                  - cols["bs"][:n])
+                cols["dq"][:n] = np.stack([m.dq for m in d])
+                cols["dv"][:n] = np.stack([m.dv for m in d])
+                cols["dp"][:n] = np.stack([m.dp for m in d])
+                cols["dtij"][:n] = np.asarray([m.dt_ij for m in d])
+                cols["Jb"][:n] = np.stack([m.J_bias for m in d])
+                cols["bg0"][:n] = np.stack([m.bg0 for m in d])
+                cols["ba0"][:n] = np.stack([m.ba0 for m in d])
+                cols["sqi"][:n] = np.stack([m.sqrt_info for m in d])
+                cols["act"][:n] = 1.0
+            preint = PreintFactors(
+                s_i=jnp.asarray(cols["s_i"]),
+                u_i=jnp.asarray(cols["u_i"], dtype),
+                s_j=jnp.asarray(cols["s_j"]),
+                u_j=jnp.asarray(cols["u_j"], dtype),
+                bias_s=jnp.asarray(cols["bs"]),
+                bias_u=jnp.asarray(cols["bu"], dtype),
+                dq=jnp.asarray(cols["dq"], dtype),
+                dv=jnp.asarray(cols["dv"], dtype),
+                dp=jnp.asarray(cols["dp"], dtype),
+                dt_ij=jnp.asarray(cols["dtij"], dtype),
+                J_bias=jnp.asarray(cols["Jb"], dtype),
+                bg0=jnp.asarray(cols["bg0"], dtype),
+                ba0=jnp.asarray(cols["ba0"], dtype),
+                sqrt_info=jnp.asarray(cols["sqi"], dtype),
+                active=jnp.asarray(cols["act"], dtype))
+
         return Factors(bearing=bearing, pixel=pixel, inertial=inertial,
-                       prior=prior)
+                       prior=prior, preint=preint)
 
     def _build_masks(self) -> Masks:
         w = self.w
@@ -419,7 +539,7 @@ class SlidingWindowEstimator:
         n_window = int(np.ceil(w.max_window / w.knot_separation)) + w.order
         first_free = max(0, self.num_knots - n_window)
         knots[:first_free] = 0.0
-        has_imu = bool(self._inertial)
+        has_imu = bool(self._inertial) or bool(self._preint_meas)
         C = int(self.cams.T_bs.shape[0])
 
         def cmask(flag, free_first=True):
