@@ -35,7 +35,7 @@ from ..factors import losses
 from ..factors import preintegration as preint
 from ..factors import residuals as res
 from ..state import bspline
-from ..variables import s2
+from ..variables import s2, so3
 from .problem import (CameraCalib, Factors, ImuCalib, Layout, Masks, Params,
                       SolverConfig, make_layout)
 
@@ -324,6 +324,54 @@ def _linearize_preint(params: Params, f, cfg: SolverConfig, lay: Layout,
         J_lm=jnp.zeros((R, 3), dtype), lm_idx=jnp.zeros(R, jnp.int32))
 
 
+def _marg_local_diff(params: Params, f):
+    """Local (tangent) coordinates of ``params`` around the prior's
+    linearization point x0: ``[knots (K*6) | bias_g | bias_a | gravity (2)]``.
+    Knot coordinates use the same product retraction as the solver
+    (``res.retract_pose_knots``): omega = log(q0^-1 q), v = t - t0."""
+    def knot_diff(x, x0):
+        w = so3.log(so3.mul(so3.conj(x0[:4]), x[:4]))
+        return jnp.concatenate([w, x[4:] - x0[4:]])
+
+    dx_k = jax.vmap(knot_diff)(params.knots, f.x0_knots).reshape(-1)
+    return jnp.concatenate([
+        dx_k,
+        (params.bias_g - f.x0_bias_g).reshape(-1),
+        (params.bias_a - f.x0_bias_a).reshape(-1),
+        s2.boxminus(params.gravity, f.x0_gravity, norm=s2.GRAVITY_NORM),
+    ])
+
+
+def _linearize_marg(params: Params, f, cfg: SolverConfig, lay: Layout):
+    """Marginalization-prior rows: r = sqrt_H (x [-] x0) + r0, with the
+    Jacobian of the local-diff map taken through the solver's retraction."""
+    D = lay.D
+    dtype = params.knots.dtype
+    K, Kb = params.num_knots, params.num_bias_knots
+    D0 = K * 6 + Kb * 6 + 2
+
+    def rfun(delta):
+        dk = delta[:K * 6].reshape(K, 6)
+        dbg = delta[K * 6:K * 6 + Kb * 3].reshape(Kb, 3)
+        dba = delta[K * 6 + Kb * 3:K * 6 + Kb * 6].reshape(Kb, 3)
+        dgr = delta[-2:]
+        p = params.replace(
+            knots=res.retract_pose_knots(params.knots, dk),
+            bias_g=params.bias_g + dbg,
+            bias_a=params.bias_a + dba,
+            gravity=s2.retract(params.gravity, dgr, norm=s2.GRAVITY_NORM))
+        return f.sqrt_H @ _marg_local_diff(p, f) + f.r0
+
+    z = jnp.zeros(D0, dtype)
+    r = rfun(z)
+    J0 = jax.jacfwd(rfun)(z)          # (D0, D0)
+    sw = f.active
+    Jp = jnp.zeros((D0, D), dtype).at[:, :D0].set(J0)
+    return LinearSystem(
+        J=Jp * sw, r=r * sw, J_lm=jnp.zeros((D0, 3), dtype),
+        lm_idx=jnp.zeros(D0, jnp.int32))
+
+
 def problem_layout(params: Params, cams: CameraCalib, masks: Masks) -> Layout:
     return make_layout(params.num_knots, params.num_bias_knots,
                        cams.T_bs.shape[0], masks)
@@ -350,6 +398,8 @@ def linearize(params: Params, cams: CameraCalib, imu: ImuCalib,
     if factors.preint is not None and factors.preint.s_i.shape[0]:
         systems.append(
             _linearize_preint(params, factors.preint, cfg, lay, dt, bias_dt))
+    if factors.marg is not None:
+        systems.append(_linearize_marg(params, factors.marg, cfg, lay))
     J = jnp.concatenate([s.J for s in systems], 0)
     r = jnp.concatenate([s.r for s in systems], 0)
     J_lm = jnp.concatenate([s.J_lm for s in systems], 0)
@@ -575,6 +625,11 @@ def compute_cost(params: Params, cams: CameraCalib, imu: ImuCalib,
                          f.dq, f.dv, f.dp, f.dt_ij, f.J_bias, f.bg0, f.ba0,
                          f.sqrt_info)
         total += jnp.sum(jnp.sum(r * r, -1) * f.active)
+
+    if factors.marg is not None:
+        f = factors.marg
+        rm = f.sqrt_H @ _marg_local_diff(params, f) + f.r0
+        total += f.active * jnp.sum(rm * rm)
 
     return 0.5 * total
 

@@ -200,6 +200,41 @@ class PreintFactors:
 
 
 @struct.dataclass
+class MargPrior:
+    """Gaussian marginalization prior over the non-calibration state block
+    ``[pose knots | gyro bias | accel bias | gravity]`` (D0 = K*6 + Kb*6 + 2
+    tangent dims), produced by Schur-eliminating state leaving the window
+    (solver/marginalization.py).
+
+    The reference has NO marginalization — old knots are merely frozen and
+    their factors' information discarded (``ceres/optimizer.cpp:322-328``,
+    SURVEY.md §2.2); this factor retains that information.  Cost
+    ``0.5 * ||sqrt_H @ (x [-] x0) + r0||^2`` with first-estimate Jacobians
+    (sqrt_H fixed at the linearization point x0)."""
+    sqrt_H: jnp.ndarray    # (D0, D0) rows of the information square root
+    r0: jnp.ndarray        # (D0,)
+    x0_knots: jnp.ndarray  # (K, 7) linearization point
+    x0_bias_g: jnp.ndarray  # (Kb, 3)
+    x0_bias_a: jnp.ndarray  # (Kb, 3)
+    x0_gravity: jnp.ndarray  # (3,)
+    active: jnp.ndarray    # () {0, 1}
+
+    @classmethod
+    def empty(cls, K: int, Kb: int, dtype=jnp.float32):
+        D0 = K * 6 + Kb * 6 + 2
+        knots = jnp.zeros((K, 7), dtype).at[:, 0].set(1.0)
+        return cls(
+            sqrt_H=jnp.zeros((D0, D0), dtype),
+            r0=jnp.zeros(D0, dtype),
+            x0_knots=knots,
+            x0_bias_g=jnp.zeros((Kb, 3), dtype),
+            x0_bias_a=jnp.zeros((Kb, 3), dtype),
+            x0_gravity=jnp.zeros(3, dtype).at[2].set(-s2.GRAVITY_NORM),
+            active=jnp.zeros((), dtype),
+        )
+
+
+@struct.dataclass
 class Factors:
     bearing: VisualFactors
     pixel: VisualFactors
@@ -207,6 +242,7 @@ class Factors:
     prior: PriorFactors
     # Optional factor families (None => absent, zero trace/compile cost).
     preint: Any = None    # PreintFactors
+    marg: Any = None      # MargPrior
 
     @classmethod
     def empty(cls, bearing_cap=0, pixel_cap=0, inertial_cap=0, prior_cap=0,

@@ -38,9 +38,10 @@ import jax.numpy as jnp
 
 from ..factors.preintegration import Preintegrator, PreintMeasurement
 from ..solver import ba
+from ..solver import marginalization as marg
 from ..solver.problem import (CameraCalib, Factors, ImuCalib, InertialFactors,
-                              Masks, Params, PreintFactors, PriorFactors,
-                              SolverConfig, VisualFactors)
+                              MargPrior, Masks, Params, PreintFactors,
+                              PriorFactors, SolverConfig, VisualFactors)
 from ..state.bspline import _blending_matrix_np
 from ..variables import nplie, s2
 
@@ -80,6 +81,11 @@ class WindowConfig:
     calibrate_cam_intrinsics: bool = False
     calibrate_cam_distortion: bool = False
     calibrate_imu_extrinsics: bool = False
+    # Fixed-lag marginalization (the reference has none — it freezes old
+    # knots and discards evicted factors, SURVEY.md §2.2): when enabled,
+    # factors leaving the window are Schur-eliminated into a MargPrior
+    # instead of dropped (solver/marginalization.py).
+    enable_marginalization: bool = False
 
 
 @dataclasses.dataclass
@@ -87,6 +93,17 @@ class TrackRecord:
     slot: int
     last_stamp: float
     first_stamp: float
+
+
+# Jitted single linearization pass (no LM loop) for the marginalization step;
+# compiles once per factor-capacity configuration (same shapes as the solve).
+import functools as _functools
+import jax as _jax
+
+
+@_functools.partial(_jax.jit, static_argnames=("cfg",))
+def _linearize_jit(params, cams, imu, factors, masks, cfg, dt, bias_dt):
+    return ba.linearize(params, cams, imu, factors, masks, cfg, dt, bias_dt)
 
 
 class SlidingWindowEstimator:
@@ -149,6 +166,12 @@ class SlidingWindowEstimator:
         self._solve_count = 0
         self._last_stats = None
 
+        # Fixed-lag marginal prior (host f64 quadratic; see
+        # solver/marginalization.py).  None when disabled.
+        self._marg_prior = (
+            marg.HostPrior.empty(K, Kb)
+            if window.enable_marginalization else None)
+
     # ------------------------------------------------------------------ #
     # bootstrap & window geometry
     # ------------------------------------------------------------------ #
@@ -202,11 +225,92 @@ class SlidingWindowEstimator:
 
     def _slide(self):
         """Drop the oldest knot (already optimized by ``_extend_to``)."""
+        if self._marg_prior is not None:
+            self._marginalize_slot0()
         self._knot_archive.append((self.t0, self.knots[0].copy()))
         self.knots[:-1] = self.knots[1:]
         self.num_knots -= 1
         self.t0 += self.w.knot_separation
         self._evict_stale()
+
+    def _marginalize_slot0(self):
+        """Fold the information of the departing state into the marginal
+        prior (see solver/marginalization.py): linearize the factors about
+        to be evicted at the current (just-optimized) estimate, combine with
+        the existing prior, Schur-eliminate the departing knot and any
+        landmarks whose observations all leave, and store the result in the
+        post-slide indexing."""
+        w = self.w
+        lo_new = self.t0 + w.knot_separation
+        prior = self._marg_prior
+        K, Kb = w.max_knots, w.max_bias_knots
+        D0 = prior.H.shape[0]
+
+        dying_b = [b for b in self._bearing if b[0] < lo_new]
+        dying_i = [b for b in self._inertial if b[0] < lo_new]
+        dying_p = [b for b in self._prior if b[0] < lo_new]
+        dying_q = [m for m in self._preint_meas if m.t_i < lo_new]
+        surviving = {b[2] for b in self._bearing if b[0] >= lo_new}
+        dying_slots = sorted({b[2] for b in dying_b} - surviving)
+        # Visual rows usable for marginalization: only those on landmarks
+        # that die with them.  Rows on surviving landmarks are dropped (as
+        # the reference drops them) — folding them in while their landmark
+        # stays active would double-count or over-constrain.
+        dset = set(dying_slots)
+        dying_b = [b for b in dying_b if b[2] in dset]
+
+        nl = len(dying_slots)
+        Dtot = D0 + 3 * nl
+        H_tot = np.zeros((Dtot, Dtot))
+        g_tot = np.zeros(Dtot)
+
+        if dying_b or dying_i or dying_p or dying_q:
+            factors = self._build_factors(
+                bearing=dying_b, inertial=dying_i, prior=dying_p,
+                preint=dying_q, attach_marg=False)
+            masks = self._build_masks(for_marginalization=True)
+            sys = _linearize_jit(
+                self._params(), self.cams, self.imu, factors, masks,
+                self.solver, jnp.asarray(w.knot_separation, self.dtype),
+                jnp.asarray(w.bias_separation, self.dtype))
+            J = np.asarray(sys.J, np.float64)[:, :D0]
+            r = np.asarray(sys.r, np.float64)
+            Jl = np.asarray(sys.J_lm, np.float64)
+            li = np.asarray(sys.lm_idx)
+            visual = np.abs(Jl).sum(axis=1) > 0
+            A = np.zeros((J.shape[0], Dtot))
+            A[:, :D0] = J
+            for i, slot in enumerate(dying_slots):
+                rows = visual & (li == slot)
+                A[rows, D0 + 3 * i:D0 + 3 * i + 3] = Jl[rows]
+            # Safety: any visual row whose landmark survives is excluded.
+            bad = visual & ~np.isin(li, dying_slots)
+            A[bad] = 0.0
+            r = np.where(bad, 0.0, r)
+            H_tot = A.T @ A
+            g_tot = A.T @ r
+
+        if prior.active:
+            # Recenter the old prior's gradient at the current estimate
+            # (first-estimate Jacobians: H unchanged).
+            dx = marg.local_diff_np(self.knots, self.bias_g, self.bias_a,
+                                    self.gravity, prior)
+            H_tot[:D0, :D0] += prior.H
+            g_tot[:D0] += prior.g + prior.H @ dx
+        elif not (dying_b or dying_i or dying_p or dying_q):
+            return  # nothing to marginalize yet
+
+        m_idx = np.concatenate([np.arange(6),
+                                D0 + np.arange(3 * nl)]).astype(np.int64)
+        H_s, g_s = marg.marginalize_columns(H_tot, g_tot, m_idx)
+        prior.H, prior.g = marg.shift_knot_block(H_s, g_s, K)
+        # Linearization point in the post-slide indexing.
+        prior.x0_knots[:-1] = self.knots[1:]
+        prior.x0_knots[-1] = self.knots[-1]
+        prior.x0_bias_g[:] = self.bias_g
+        prior.x0_bias_a[:] = self.bias_a
+        prior.x0_gravity[:] = self.gravity
+        prior.active = bool(np.any(prior.H))
 
     def _evict_stale(self):
         """Drop factors/landmarks that fell out of the window (reference
@@ -390,6 +494,9 @@ class SlidingWindowEstimator:
             self.bias_g[:-1] = self.bias_g[1:]
             self.bias_a[:-1] = self.bias_a[1:]
             self.bias_t0 += dtb
+            if self._marg_prior is not None:
+                marg.shift_bias_block(self._marg_prior, self.w.max_knots,
+                                      self.w.max_bias_knots)
 
     def _seg(self, ts: np.ndarray):
         dt = self.w.knot_separation
@@ -398,10 +505,17 @@ class SlidingWindowEstimator:
         u = (ts - self.t0) / dt - s
         return s, u
 
-    def _build_factors(self) -> Factors:
+    def _build_factors(self, bearing=None, inertial=None, prior=None,
+                       preint=None, attach_marg=True) -> Factors:
         """Stage host factor lists into full-capacity device arrays (one
-        transfer per array, no device compute)."""
+        transfer per array, no device compute).  The list arguments default
+        to the live staged lists; the marginalization step passes the dying
+        subsets instead."""
         w, dtype = self.w, self.dtype
+        bearing_l = self._bearing if bearing is None else bearing
+        inertial_l = self._inertial if inertial is None else inertial
+        prior_l = self._prior if prior is None else prior
+        preint_l = self._preint_meas if preint is None else preint
 
         def visual(data, cap, meas_dim):
             s = np.zeros(cap, np.int32)
@@ -425,7 +539,7 @@ class SlidingWindowEstimator:
                 cam=jnp.asarray(cam), lm=jnp.asarray(lm),
                 meas=jnp.asarray(meas, dtype), active=jnp.asarray(act, dtype))
 
-        bearing = visual(self._bearing, w.max_bearing, 3)
+        bearing = visual(bearing_l, w.max_bearing, 3)
         pixel = visual([], w.max_pixel, 2)
 
         cap = w.max_inertial
@@ -435,9 +549,9 @@ class SlidingWindowEstimator:
         bu = np.zeros(cap, np.float32)
         meas = np.zeros((cap, 6), np.float32)
         act = np.zeros(cap, np.float32)
-        n = min(len(self._inertial), cap)
+        n = min(len(inertial_l), cap)
         if n:
-            d = self._inertial[-n:]
+            d = inertial_l[-n:]
             ts = np.asarray([x[0] for x in d])
             self._ensure_bias_knots(float(ts.max()))
             s[:n], u[:n] = self._seg(ts)
@@ -458,9 +572,9 @@ class SlidingWindowEstimator:
         meas = np.zeros((cap, 7), np.float32)
         meas[:, 0] = 1.0
         act = np.zeros(cap, np.float32)
-        n = min(len(self._prior), cap)
+        n = min(len(prior_l), cap)
         if n:
-            d = self._prior[-n:]
+            d = prior_l[-n:]
             ts = np.asarray([x[0] for x in d])
             s[:n], u[:n] = self._seg(ts)
             meas[:n] = np.stack([x[1] for x in d])
@@ -487,9 +601,9 @@ class SlidingWindowEstimator:
                 "act": np.zeros(cap, np.float32),
             }
             cols["dq"][:, 0] = 1.0
-            n = min(len(self._preint_meas), cap)
+            n = min(len(preint_l), cap)
             if n:
-                d = self._preint_meas[-n:]
+                d = preint_l[-n:]
                 t_i = np.asarray([m.t_i for m in d])
                 t_j = np.asarray([m.t_j for m in d])
                 self._ensure_bias_knots(float(t_j.max()))
@@ -526,19 +640,41 @@ class SlidingWindowEstimator:
                 sqrt_info=jnp.asarray(cols["sqi"], dtype),
                 active=jnp.asarray(cols["act"], dtype))
 
-        return Factors(bearing=bearing, pixel=pixel, inertial=inertial,
-                       prior=prior, preint=preint)
+        marg_f = None
+        if attach_marg and self._marg_prior is not None:
+            hp = self._marg_prior
+            if hp.active:
+                sqrt_H, r0 = marg.sqrt_factor(hp.H, hp.g)
+            else:
+                D0 = hp.H.shape[0]
+                sqrt_H, r0 = np.zeros((D0, D0)), np.zeros(D0)
+            marg_f = MargPrior(
+                sqrt_H=jnp.asarray(sqrt_H, dtype),
+                r0=jnp.asarray(r0, dtype),
+                x0_knots=jnp.asarray(hp.x0_knots, dtype),
+                x0_bias_g=jnp.asarray(hp.x0_bias_g, dtype),
+                x0_bias_a=jnp.asarray(hp.x0_bias_a, dtype),
+                x0_gravity=jnp.asarray(hp.x0_gravity, dtype),
+                active=jnp.asarray(1.0 if hp.active else 0.0, dtype))
 
-    def _build_masks(self) -> Masks:
+        return Factors(bearing=bearing, pixel=pixel, inertial=inertial,
+                       prior=prior, preint=preint, marg=marg_f)
+
+    def _build_masks(self, for_marginalization: bool = False) -> Masks:
         w = self.w
         K = w.max_knots
         knots = np.zeros(K, np.float32)
         knots[:self.num_knots] = 1.0
         # Freeze knots below the window lower bound (reference
-        # ceres/optimizer.cpp:322-328).
+        # ceres/optimizer.cpp:322-328).  With an active marginal prior the
+        # prior itself anchors old knots, so freezing is skipped (and must
+        # be skipped when linearizing for marginalization — the departing
+        # knot's columns are exactly what gets eliminated).
         n_window = int(np.ceil(w.max_window / w.knot_separation)) + w.order
         first_free = max(0, self.num_knots - n_window)
-        knots[:first_free] = 0.0
+        if not (for_marginalization
+                or (self._marg_prior is not None and self._marg_prior.active)):
+            knots[:first_free] = 0.0
         has_imu = bool(self._inertial) or bool(self._preint_meas)
         C = int(self.cams.T_bs.shape[0])
 

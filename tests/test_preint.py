@@ -108,12 +108,14 @@ def test_bias_jacobian_first_order(scene):
     knots, t_i, t_j, ts, gyro, accel = scene
     dbg = np.array([0.004, -0.003, 0.002])
     dba = np.array([0.03, 0.02, -0.04])
-    # Preintegrate at bias 0, correct via Jacobians inside the residual:
-    meas0 = _preintegrate(ts, gyro, accel)
-    # Simulate biased IMU: meas = true + bias; preintegrating with the exact
-    # bias linearization point reproduces the true preintegral.
+    # Simulate a biased IMU (meas = true + bias), preintegrated at bias
+    # linearization point 0; the residual's first-order Jacobian correction
+    # must then remove the bias given the spline-bias value dbg/dba:
+    meas0 = _preintegrate(ts, gyro + dbg, accel + dba)
     r = pre.preint_residual(*_residual_args(
         knots, t_i, t_j, meas0, bias_g=dbg, bias_a=dba))
+    # Preintegrating the same biased samples WITH the exact linearization
+    # point removes the bias exactly:
     meas1 = _preintegrate(ts, gyro + dbg, accel + dba, bg0=dbg, ba0=dba)
     r1 = pre.preint_residual(*_residual_args(
         knots, t_i, t_j, meas1, bias_g=dbg, bias_a=dba))
