@@ -130,14 +130,16 @@ class EurocSequence:
             j = int(np.argmin(np.abs(c1_s - t)))
             if abs(c1_s[j] - t) < 0.003:
                 pairs.append((t, c0_n[i], c1_n[j]))
-        t_base = min([imu_s[0]] if len(imu_s) else [] + [pairs[0][0]])
         events = []
         for i, t in enumerate(imu_s):
             events.append((t, 0, ("imu", t, gyro[i], accel[i])))
         for (t, n0, n1) in pairs:
             events.append((t, 1, ("stereo", t, n0, n1)))
         events.sort(key=lambda e: (e[0], e[1]))
+        if not events:
+            return
+        t_base = events[0][0]  # earliest stamp across imu + stereo
         for t, _, e in events:
-            if max_duration is not None and t - events[0][0] > max_duration:
+            if max_duration is not None and t - t_base > max_duration:
                 break
             yield e

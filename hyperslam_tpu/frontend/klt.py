@@ -117,10 +117,11 @@ def _lk_level(img_prev, img_next, pts_prev, guess, win, iters, min_det):
     return jax.vmap(one)(pts_prev, guess)
 
 
-@functools.partial(jax.jit, static_argnames=("win", "iters", "levels"))
+@functools.partial(jax.jit, static_argnames=("win", "iters"))
 def lk_track(pyr_prev, pyr_next, pts, guess, valid, win=13, iters=10,
-             levels=None, min_det=1e-4):
-    """Track pts from pyr_prev to pyr_next.  Coarse-to-fine.
+             min_det=1e-4):
+    """Track pts from pyr_prev to pyr_next.  Coarse-to-fine over all levels
+    of the given pyramids (pyramid depth = number of levels passed in).
 
     pts, guess: (N, 2) (x, y) full-res pixels; valid: (N,) bool.
     Returns (tracked (N, 2), ok (N,) bool).  Equivalent of one
@@ -128,17 +129,21 @@ def lk_track(pyr_prev, pyr_next, pts, guess, valid, win=13, iters=10,
     """
     L = len(pyr_prev)
     cur = guess / (2.0 ** (L - 1))
+    ok = None
     for l in range(L - 1, -1, -1):
         scale = 2.0 ** l
         p_l = pts / scale
         cur, ok_l = _lk_level(pyr_prev[l], pyr_next[l], p_l, cur, win, iters,
                               min_det)
+        # A point badly conditioned at ANY level is unreliable (coarse-level
+        # divergence poisons the fine-level initial guess).
+        ok = ok_l if ok is None else (ok & ok_l)
         if l > 0:
             cur = cur * 2.0
     H, W = pyr_next[0].shape
     inb = ((cur[:, 0] >= 1.0) & (cur[:, 0] <= W - 2.0)
            & (cur[:, 1] >= 1.0) & (cur[:, 1] <= H - 2.0))
-    return cur, valid & ok_l & inb
+    return cur, valid & ok & inb
 
 
 # --------------------------------------------------------------------------- #
@@ -250,6 +255,7 @@ class StereoKLT:
             self.valid = np.array(ok)
             self.lengths[self.valid] += 1
             self.ids[~self.valid] = -1
+            self._select()
 
         # top-up with new circularly-verified features
         free = int((~self.valid).sum())
@@ -260,6 +266,34 @@ class StereoKLT:
         self.prev_pyr1 = pyr1
         m = self.valid
         return self.ids[m], self.pts0[m].copy(), self.pts1[m].copy()
+
+    def _select(self):
+        """Length-sorted track selection with a separation mask (reference
+        ``selectFeatures``, klt.cpp:314-330): visit tracks longest-first and
+        drop any track closer than ``min_track_separation`` to an
+        already-kept (longer) one.  Long tracks carry the most constraint per
+        landmark, so they win ties for image real estate."""
+        cfg = self.cfg
+        idx = np.nonzero(self.valid)[0]
+        if len(idx) < 2:
+            return
+        # longest first; ties broken by older id (stable ordering)
+        order = idx[np.lexsort((self.ids[idx], -self.lengths[idx]))]
+        pts = self.pts0[order]
+        kept_mask = np.zeros(len(order), bool)
+        kept_pts = []
+        for i in range(len(order)):
+            p = pts[i]
+            if kept_pts:
+                d2 = np.sum((np.asarray(kept_pts) - p) ** 2, axis=1)
+                if d2.min() < cfg.min_track_separation ** 2:
+                    continue
+            kept_mask[i] = True
+            kept_pts.append(p)
+        dropped = order[~kept_mask]
+        self.valid[dropped] = False
+        self.ids[dropped] = -1
+        self.lengths[dropped] = 0
 
     def _initialize(self, pyr0, pyr1):
         """Detect corners in left, verify by left->right->(back) tracking

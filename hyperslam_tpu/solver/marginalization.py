@@ -31,7 +31,16 @@ import dataclasses
 import numpy as np
 
 __all__ = ["HostPrior", "marginalize_columns", "sqrt_factor",
-           "shift_knot_block", "shift_bias_block"]
+           "shift_knot_block", "shift_bias_block", "knot_info_norms",
+           "ACTIVE_TOL"]
+
+# Information below this magnitude is numerical residue of the subtractive
+# Schur step, not signal: a residual bundle whose rank is fully attributable
+# to the eliminated block (e.g. a single 6-dim pose prior vs the 6 departing
+# knot columns) leaves a Schur complement that is *mathematically* zero but
+# numerically ~1e-16..1e-10.  Real information enters at the sqrt-info scale
+# (>= 1e2 per row), so 1e-6 separates the two regimes by many decades.
+ACTIVE_TOL = 1e-6
 
 
 @dataclasses.dataclass
@@ -49,9 +58,11 @@ class HostPrior:
     def empty(cls, K: int, Kb: int):
         D0 = K * 6 + Kb * 6 + 2
         knots = np.tile(np.array([1.0, 0, 0, 0, 0, 0, 0]), (K, 1))
+        # Same default as the estimator/reference: -kNorm * e0
+        # (environment/abstract.cpp:64, variables/s2.py default_gravity).
         return cls(H=np.zeros((D0, D0)), g=np.zeros(D0), x0_knots=knots,
                    x0_bias_g=np.zeros((Kb, 3)), x0_bias_a=np.zeros((Kb, 3)),
-                   x0_gravity=np.array([0.0, 0.0, -9.80741]), active=False)
+                   x0_gravity=np.array([-9.80741, 0.0, 0.0]), active=False)
 
 
 def marginalize_columns(H: np.ndarray, g: np.ndarray, m_idx: np.ndarray):
@@ -141,6 +152,18 @@ def shift_bias_block(prior: HostPrior, K: int, Kb: int):
     prior.H, prior.g = H_new, g_new
     prior.x0_bias_g[:-1] = prior.x0_bias_g[1:]
     prior.x0_bias_a[:-1] = prior.x0_bias_a[1:]
+
+
+def knot_info_norms(H: np.ndarray, K: int) -> np.ndarray:
+    """Per-knot information magnitude: Frobenius norm of each knot's 6-column
+    band of H (rows included, so cross terms count).  Used by the estimator
+    to decide which old knots the prior genuinely anchors — knots with no
+    prior information stay frozen (the reference's behavior,
+    ceres/optimizer.cpp:322-328) instead of drifting unanchored."""
+    out = np.empty(K)
+    for i in range(K):
+        out[i] = np.linalg.norm(H[:, 6 * i:6 * i + 6])
+    return out
 
 
 def local_diff_np(knots, bias_g, bias_a, gravity, prior: HostPrior):

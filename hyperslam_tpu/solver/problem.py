@@ -200,6 +200,30 @@ class PreintFactors:
 
 
 @struct.dataclass
+class SmoothFactors:
+    """Second-difference (constant-velocity) smoothness prior on consecutive
+    pose knots: r = w * (log(k_{i+1}^-1 k_{i+2}) - log(k_i^-1 k_{i+1})).
+
+    The reference has no such prior — and correspondingly its spline knots
+    are only constrained by whatever measurements land on their segments.
+    With sparse visual data (~1 frame per segment) the newest extrapolated
+    knot is nearly unobserved and Gauss-Newton sends it arbitrarily far
+    without raising the cost (measured: km-scale divergence of the CLI run
+    at separation 0.1 s / 10 fps).  A weak constant-velocity prior floors
+    the information in those null directions at 1/sigma^2 while biasing real
+    trajectories only through their *acceleration* (zero residual for
+    constant velocity), the standard motion-model regularizer in
+    continuous-time SLAM."""
+    i: jnp.ndarray       # (F,) int32 first knot index (uses knots i, i+1, i+2)
+    active: jnp.ndarray  # (F,)
+
+    @classmethod
+    def empty(cls, capacity: int, dtype=jnp.float32):
+        return cls(i=jnp.zeros(capacity, jnp.int32),
+                   active=jnp.zeros(capacity, dtype))
+
+
+@struct.dataclass
 class MargPrior:
     """Gaussian marginalization prior over the non-calibration state block
     ``[pose knots | gyro bias | accel bias | gravity]`` (D0 = K*6 + Kb*6 + 2
@@ -243,6 +267,7 @@ class Factors:
     # Optional factor families (None => absent, zero trace/compile cost).
     preint: Any = None    # PreintFactors
     marg: Any = None      # MargPrior
+    smooth: Any = None    # SmoothFactors
 
     @classmethod
     def empty(cls, bearing_cap=0, pixel_cap=0, inertial_cap=0, prior_cap=0,
@@ -277,6 +302,13 @@ class Masks:
     cam_intr: Any = None    # (C,) camera intrinsics free?
     cam_dist: Any = None    # (C,) camera distortion free?
     imu_ext: Any = None     # () IMU extrinsics free?
+    # Per-part knot constancy (the reference's SE3 product-manifold
+    # rotation/translation constancy flags, backend.cpp:52-55 +
+    # ceres/manifolds/variables/se3.cpp:19-24): () scalar {0,1} applied to
+    # the rotation (cols 0-2) / translation (cols 3-5) of EVERY knot, on top
+    # of the per-knot ``knots`` mask.  None = free (default).
+    knots_rot: Any = None
+    knots_trans: Any = None
 
     @classmethod
     def all_free(cls, K, L, Kb, dtype=jnp.float32, gravity_free=True,
@@ -320,6 +352,12 @@ class SolverConfig(struct.PyTreeNode):
     lambda_up: float = struct.field(pytree_node=False, default=10.0)
     lambda_down: float = struct.field(pytree_node=False, default=0.5)
     landmark_jitter: float = struct.field(pytree_node=False, default=1e-6)
+    # Constant-velocity smoothness prior (SmoothFactors): 1/sigma per knot
+    # second difference, rotation [rad] / translation [m] parts.
+    smooth_sqrt_info_rot: float = struct.field(pytree_node=False,
+                                               default=1.0 / 0.15)
+    smooth_sqrt_info_trans: float = struct.field(pytree_node=False,
+                                                 default=1.0 / 0.15)
 
 
 class Layout(NamedTuple):

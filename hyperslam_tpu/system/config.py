@@ -210,8 +210,30 @@ def imu_calib_from_spec(spec: SystemSpec, dtype=jnp.float32) -> ImuCalib:
 def window_config_from_spec(spec: SystemSpec, dtype=jnp.float32,
                             **overrides) -> WindowConfig:
     be = spec.backends[0] if spec.backends else BackendSpec(name="Backend-0")
+    if not be.time_constant:
+        import logging
+        logging.getLogger(__name__).warning(
+            "backend %s sets time_constant: false, but knot stamps live on "
+            "a structural uniform grid and are never optimizable; ignoring",
+            be.name)
+    # Size factor capacities to the actual data envelope: every stereo
+    # observation inside the window is a residual (the reference keeps them
+    # all as Ceres blocks).  An undersized capacity silently thins the
+    # problem (see estimator._build_factors), so compute the need from the
+    # sensor rates and clamp to a sane device budget.
+    cams = [s for s in spec.sensors if s.type == "camera"]
+    vis = [f for f in spec.frontends if f.type == "visual"]
+    rate = max([c.rate or 20.0 for c in cams], default=20.0)
+    tracks = vis[0].klt.max_tracks if (vis and vis[0].klt) else 150
+    need = len(cams) * tracks * rate * be.max_window
+    max_bearing = int(min(2 ** int(np.ceil(np.log2(max(need, 1024)))), 8192))
     kw = dict(knot_separation=be.separation, max_window=be.max_window,
               max_knots=int(np.ceil(be.max_window / be.separation)) + 8,
+              max_bearing=max_bearing,
+              max_landmarks=int(2 ** int(np.ceil(np.log2(max(
+                  2 * tracks, 256))))),
+              knot_rotation_constant=be.rotation_constant,
+              knot_translation_constant=be.translation_constant,
               dtype=dtype)
     kw.update(overrides)
     return WindowConfig(**kw)

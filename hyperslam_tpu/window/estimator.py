@@ -31,6 +31,7 @@ TPU design decisions:
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -41,7 +42,8 @@ from ..solver import ba
 from ..solver import marginalization as marg
 from ..solver.problem import (CameraCalib, Factors, ImuCalib, InertialFactors,
                               MargPrior, Masks, Params, PreintFactors,
-                              PriorFactors, SolverConfig, VisualFactors)
+                              PriorFactors, SmoothFactors, SolverConfig,
+                              VisualFactors)
 from ..state.bspline import _blending_matrix_np
 from ..variables import nplie, s2
 
@@ -81,11 +83,26 @@ class WindowConfig:
     calibrate_cam_intrinsics: bool = False
     calibrate_cam_distortion: bool = False
     calibrate_imu_extrinsics: bool = False
+    # Per-part knot constancy from the backend YAML (reference
+    # rotation_constant / translation_constant, backend.cpp:52-55 +
+    # ceres/manifolds/variables/se3.cpp:19-24).  The reference's
+    # time_constant maps to nothing here: knot stamps live on a structural
+    # uniform grid and are never optimizable (Stamped time constancy is
+    # always true in the released reference configs as well).
+    knot_rotation_constant: bool = False
+    knot_translation_constant: bool = False
     # Fixed-lag marginalization (the reference has none — it freezes old
     # knots and discards evicted factors, SURVEY.md §2.2): when enabled,
     # factors leaving the window are Schur-eliminated into a MargPrior
     # instead of dropped (solver/marginalization.py).
     enable_marginalization: bool = False
+    # Constant-velocity smoothness prior between consecutive knots
+    # (solver SmoothFactors): regularizes knots with little measurement
+    # support — without it the newest extrapolated knot is nearly
+    # unobserved at sparse frame rates and Gauss-Newton diverges (the
+    # reference has no such prior and relies on dense-enough data).
+    # Sigmas live in SolverConfig (smooth_sqrt_info_rot/trans).
+    enable_smoothness: bool = True
 
 
 @dataclasses.dataclass
@@ -171,6 +188,15 @@ class SlidingWindowEstimator:
         self._marg_prior = (
             marg.HostPrior.empty(K, Kb)
             if window.enable_marginalization else None)
+        # True once the prior has ever carried real information (diagnostic:
+        # vision-only scenarios with long-lived tracks may legitimately have
+        # nothing to retain — each slide's departing information is absorbed
+        # exactly by the eliminated knot/landmark block).
+        self._marg_ever_active = False
+        # capacity-overflow counters (reference warns on queue growth,
+        # klt.cpp:181; we count every silent clamp instead of truncating
+        # silently)
+        self.overflow_counts: Dict[str, int] = {}
 
     # ------------------------------------------------------------------ #
     # bootstrap & window geometry
@@ -264,15 +290,27 @@ class SlidingWindowEstimator:
         H_tot = np.zeros((Dtot, Dtot))
         g_tot = np.zeros(Dtot)
 
-        if dying_b or dying_i or dying_p or dying_q:
+        # The smoothness triple anchored at the departing knot (i = 0) dies
+        # with it; folding it in gives the prior cross-information on the
+        # surviving knots 1..2 even in vision-only runs.
+        has_dying = (bool(dying_b) or bool(dying_i) or bool(dying_p)
+                     or bool(dying_q)
+                     or (self.w.enable_smoothness and self.num_knots >= 3))
+        if has_dying:
             factors = self._build_factors(
                 bearing=dying_b, inertial=dying_i, prior=dying_p,
-                preint=dying_q, attach_marg=False)
+                preint=dying_q, attach_marg=False, smooth_idx=[0])
             masks = self._build_masks(for_marginalization=True)
             sys = _linearize_jit(
                 self._params(), self.cams, self.imu, factors, masks,
                 self.solver, jnp.asarray(w.knot_separation, self.dtype),
                 jnp.asarray(w.bias_separation, self.dtype))
+            # NOTE: columns beyond D0 (self-calibration parameters, when a
+            # calibrate_* flag frees them) are truncated: the prior treats
+            # calibration as fixed, dropping evicted factors' calib
+            # cross-information.  This is the standard fixed-lag
+            # approximation (calibration is quasi-static; its information
+            # accumulates through the live window instead).
             J = np.asarray(sys.J, np.float64)[:, :D0]
             r = np.asarray(sys.r, np.float64)
             Jl = np.asarray(sys.J_lm, np.float64)
@@ -297,7 +335,7 @@ class SlidingWindowEstimator:
                                     self.gravity, prior)
             H_tot[:D0, :D0] += prior.H
             g_tot[:D0] += prior.g + prior.H @ dx
-        elif not (dying_b or dying_i or dying_p or dying_q):
+        elif not has_dying:
             return  # nothing to marginalize yet
 
         m_idx = np.concatenate([np.arange(6),
@@ -310,7 +348,16 @@ class SlidingWindowEstimator:
         prior.x0_bias_g[:] = self.bias_g
         prior.x0_bias_a[:] = self.bias_a
         prior.x0_gravity[:] = self.gravity
-        prior.active = bool(np.any(prior.H))
+        # Threshold, don't np.any: a bundle whose rank the eliminated block
+        # fully absorbs leaves ~1e-16 Schur residue, which must not count as
+        # information (it would disable knot freezing and unanchor the gauge).
+        if np.abs(prior.H).max() > marg.ACTIVE_TOL:
+            prior.active = True
+            self._marg_ever_active = True
+        else:
+            prior.H[:] = 0.0
+            prior.g[:] = 0.0
+            prior.active = False
 
     def _evict_stale(self):
         """Drop factors/landmarks that fell out of the window (reference
@@ -402,8 +449,11 @@ class SlidingWindowEstimator:
             return
         self._ensure_bias_knots(t)
         meas = self._pre.finish(t)
-        if meas.t_i >= self.t0 and len(self._preint_meas) < 4 * self.w.max_preint:
-            self._preint_meas.append(meas)
+        if meas.t_i >= self.t0:
+            if len(self._preint_meas) < 4 * self.w.max_preint:
+                self._preint_meas.append(meas)
+            else:
+                self._overflow("preint_staging", 1)
         self._pre.reset(t, self._bias_at(t, self.bias_g),
                         self._bias_at(t, self.bias_a))
 
@@ -451,7 +501,9 @@ class SlidingWindowEstimator:
                 if len(self.cams_np["T_bs"]) > 1 else None
             for tid, idxs in new_obs.items():
                 if not self._free_slots:
-                    break  # capacity: skip new tracks (masked design)
+                    # capacity: skip new tracks (masked design)
+                    self._overflow("landmark_slots", 1)
+                    break
                 cams_of = cam_indices[idxs]
                 if len(idxs) >= 2 and T_w_c1 is not None:
                     i0 = idxs[int(np.argmin(cams_of))]
@@ -498,6 +550,19 @@ class SlidingWindowEstimator:
                 marg.shift_bias_block(self._marg_prior, self.w.max_knots,
                                       self.w.max_bias_knots)
 
+    def _overflow(self, kind: str, dropped: int):
+        """Record a capacity clamp (the reference warns on queue growth,
+        klt.cpp:181; silent truncation is never acceptable)."""
+        if dropped <= 0:
+            return
+        first = kind not in self.overflow_counts
+        self.overflow_counts[kind] = self.overflow_counts.get(kind, 0) + dropped
+        if first:
+            logging.getLogger(__name__).warning(
+                "capacity overflow: dropped %d oldest '%s' factors (raise "
+                "the corresponding WindowConfig.max_* capacity); further "
+                "drops are counted in overflow_counts", dropped, kind)
+
     def _seg(self, ts: np.ndarray):
         dt = self.w.knot_separation
         s = np.clip(np.floor((ts - self.t0) / dt).astype(np.int32),
@@ -506,7 +571,8 @@ class SlidingWindowEstimator:
         return s, u
 
     def _build_factors(self, bearing=None, inertial=None, prior=None,
-                       preint=None, attach_marg=True) -> Factors:
+                       preint=None, attach_marg=True,
+                       smooth_idx=None) -> Factors:
         """Stage host factor lists into full-capacity device arrays (one
         transfer per array, no device compute).  The list arguments default
         to the live staged lists; the marginalization step passes the dying
@@ -517,7 +583,19 @@ class SlidingWindowEstimator:
         prior_l = self._prior if prior is None else prior
         preint_l = self._preint_meas if preint is None else preint
 
-        def visual(data, cap, meas_dim):
+        def thin(data, cap, kind):
+            """Capacity clamp by TEMPORAL STRIDE, not drop-oldest: the oldest
+            observations are the only constraints on otherwise-unanchored
+            early knots, so dropping them unravels the window (measured:
+            the CLI synthetic run diverged to km-scale exactly when the
+            oldest block was dropped).  An even stride keeps coverage."""
+            if len(data) <= cap:
+                return data
+            self._overflow(kind, len(data) - cap)
+            idx = np.linspace(0, len(data) - 1, cap).round().astype(int)
+            return [data[i] for i in idx]
+
+        def visual(data, cap, meas_dim, kind):
             s = np.zeros(cap, np.int32)
             u = np.zeros(cap, np.float32)
             cam = np.zeros(cap, np.int32)
@@ -525,9 +603,10 @@ class SlidingWindowEstimator:
             meas = np.zeros((cap, meas_dim), np.float32)
             meas[:, -1] = 1.0
             act = np.zeros(cap, np.float32)
-            n = min(len(data), cap)
+            data = thin(data, cap, kind)
+            n = len(data)
             if n:
-                d = data[-n:]
+                d = data
                 ts = np.asarray([x[0] for x in d])
                 s[:n], u[:n] = self._seg(ts)
                 cam[:n] = [x[1] for x in d]
@@ -539,8 +618,8 @@ class SlidingWindowEstimator:
                 cam=jnp.asarray(cam), lm=jnp.asarray(lm),
                 meas=jnp.asarray(meas, dtype), active=jnp.asarray(act, dtype))
 
-        bearing = visual(bearing_l, w.max_bearing, 3)
-        pixel = visual([], w.max_pixel, 2)
+        bearing = visual(bearing_l, w.max_bearing, 3, "bearing")
+        pixel = visual([], w.max_pixel, 2, "pixel")
 
         cap = w.max_inertial
         s = np.zeros(cap, np.int32)
@@ -549,9 +628,10 @@ class SlidingWindowEstimator:
         bu = np.zeros(cap, np.float32)
         meas = np.zeros((cap, 6), np.float32)
         act = np.zeros(cap, np.float32)
-        n = min(len(inertial_l), cap)
+        inertial_l = thin(inertial_l, cap, "inertial")
+        n = len(inertial_l)
         if n:
-            d = inertial_l[-n:]
+            d = inertial_l
             ts = np.asarray([x[0] for x in d])
             self._ensure_bias_knots(float(ts.max()))
             s[:n], u[:n] = self._seg(ts)
@@ -572,9 +652,10 @@ class SlidingWindowEstimator:
         meas = np.zeros((cap, 7), np.float32)
         meas[:, 0] = 1.0
         act = np.zeros(cap, np.float32)
-        n = min(len(prior_l), cap)
+        prior_l = thin(prior_l, cap, "prior")
+        n = len(prior_l)
         if n:
-            d = prior_l[-n:]
+            d = prior_l
             ts = np.asarray([x[0] for x in d])
             s[:n], u[:n] = self._seg(ts)
             meas[:n] = np.stack([x[1] for x in d])
@@ -601,9 +682,10 @@ class SlidingWindowEstimator:
                 "act": np.zeros(cap, np.float32),
             }
             cols["dq"][:, 0] = 1.0
-            n = min(len(preint_l), cap)
+            preint_l = thin(preint_l, cap, "preint")
+            n = len(preint_l)
             if n:
-                d = preint_l[-n:]
+                d = preint_l
                 t_i = np.asarray([m.t_i for m in d])
                 t_j = np.asarray([m.t_j for m in d])
                 self._ensure_bias_knots(float(t_j.max()))
@@ -640,6 +722,24 @@ class SlidingWindowEstimator:
                 sqrt_info=jnp.asarray(cols["sqi"], dtype),
                 active=jnp.asarray(cols["act"], dtype))
 
+        smooth = None
+        if self.w.enable_smoothness:
+            # one constant-velocity row per knot triple; the marginalization
+            # path passes the dying triple only (smooth_idx=[0])
+            capk = self.w.max_knots
+            idx = np.arange(capk, dtype=np.int32)
+            acts = np.zeros(capk, np.float32)
+            n_s = max(0, self.num_knots - 2)
+            if smooth_idx is None:
+                acts[:n_s] = 1.0
+            else:
+                for j in smooth_idx:
+                    if 0 <= j < n_s:
+                        acts[j] = 1.0
+            idx = np.clip(idx, 0, max(0, self.num_knots - 3))
+            smooth = SmoothFactors(i=jnp.asarray(idx),
+                                   active=jnp.asarray(acts))
+
         marg_f = None
         if attach_marg and self._marg_prior is not None:
             hp = self._marg_prior
@@ -658,7 +758,8 @@ class SlidingWindowEstimator:
                 active=jnp.asarray(1.0 if hp.active else 0.0, dtype))
 
         return Factors(bearing=bearing, pixel=pixel, inertial=inertial,
-                       prior=prior, preint=preint, marg=marg_f)
+                       prior=prior, preint=preint, marg=marg_f,
+                       smooth=smooth)
 
     def _build_masks(self, for_marginalization: bool = False) -> Masks:
         w = self.w
@@ -666,15 +767,29 @@ class SlidingWindowEstimator:
         knots = np.zeros(K, np.float32)
         knots[:self.num_knots] = 1.0
         # Freeze knots below the window lower bound (reference
-        # ceres/optimizer.cpp:322-328).  With an active marginal prior the
-        # prior itself anchors old knots, so freezing is skipped (and must
-        # be skipped when linearizing for marginalization — the departing
-        # knot's columns are exactly what gets eliminated).
+        # ceres/optimizer.cpp:322-328).  With marginalization, an old knot is
+        # left free only when the marginal prior actually carries information
+        # on it (per-knot block norm); knots the prior does not anchor stay
+        # frozen — otherwise the gauge flip-flops between anchored and free
+        # across slides as the prior's content changes.  When linearizing FOR
+        # marginalization nothing is frozen (the departing knot's columns are
+        # exactly what gets eliminated).
         n_window = int(np.ceil(w.max_window / w.knot_separation)) + w.order
         first_free = max(0, self.num_knots - n_window)
-        if not (for_marginalization
-                or (self._marg_prior is not None and self._marg_prior.active)):
-            knots[:first_free] = 0.0
+        # Gauge anchor: knot slot 0 is always frozen (unless the marginal
+        # prior carries information on it).  The global left-multiplication
+        # null space (6 DoF; scale is fixed by the stereo baseline) must be
+        # pinned somewhere: the reference gets away with identity bootstrap
+        # + Ceres LM damping, but once observations fall out of capacity the
+        # unanchored early knots drift unboundedly (measured km-scale
+        # divergence on the prior-less CLI run).
+        n_frozen = max(first_free, min(1, self.num_knots))
+        if not for_marginalization and n_frozen > 0:
+            frozen = np.ones(n_frozen, bool)
+            if self._marg_prior is not None and self._marg_prior.active:
+                norms = marg.knot_info_norms(self._marg_prior.H, K)
+                frozen &= norms[:n_frozen] <= marg.ACTIVE_TOL
+            knots[:n_frozen][frozen] = 0.0
         has_imu = bool(self._inertial) or bool(self._preint_meas)
         C = int(self.cams.T_bs.shape[0])
 
@@ -700,6 +815,10 @@ class SlidingWindowEstimator:
             cam_dist=cmask(w.calibrate_cam_distortion),
             imu_ext=(jnp.asarray(1.0, np.float32)
                      if w.calibrate_imu_extrinsics else None),
+            knots_rot=(jnp.asarray(0.0, np.float32)
+                       if w.knot_rotation_constant else None),
+            knots_trans=(jnp.asarray(0.0, np.float32)
+                         if w.knot_translation_constant else None),
         )
 
     def _params(self) -> Params:

@@ -141,9 +141,18 @@ def test_shift_knot_block_reindexes(rng):
 
 @pytest.mark.slow
 def test_estimator_marginalization_e2e():
-    """Synthetic stereo VO with marginalization ON: the window slides many
-    times; the marginal prior must keep the trajectory consistent (ATE at
-    least as good as the freeze-only run on the same data)."""
+    """Synthetic stereo-INERTIAL sequence with marginalization ON: the window
+    slides many times; the marginal prior must accumulate real information
+    and keep the trajectory consistent (ATE at least as good as the
+    freeze-only run on the same data).
+
+    Why inertial: in a vision-only run with long-lived tracks, each slide's
+    departing information (a single 6-dim pose prior, or a few bearing rows
+    on a fully-dying track) is low-rank and *exactly* absorbed by the
+    eliminated knot/landmark columns — the Schur complement is mathematically
+    zero, so there is legitimately nothing to retain.  Dying IMU-sample
+    bundles (many 6-dim residuals across the same knot span) are high-rank
+    and leave genuine cross-knot information behind."""
     from hyperslam_tpu.evaluation import metrics
     from hyperslam_tpu.frontend import synthetic
     from hyperslam_tpu.window.estimator import (SlidingWindowEstimator,
@@ -151,18 +160,23 @@ def test_estimator_marginalization_e2e():
     from tests.test_e2e import _run_estimator
 
     cfg = synthetic.SyntheticConfig(
-        duration=6.0, knot_dt=0.5, cam_rate=10.0, num_landmarks=120,
-        pixel_noise=0.3, seed=5)
+        duration=6.0, knot_dt=0.5, cam_rate=10.0, imu_rate=50.0,
+        num_landmarks=120, pixel_noise=0.3, gyro_noise=2e-3,
+        accel_noise=2e-2, gyro_bias=(0.002, -0.001, 0.003),
+        accel_bias=(0.05, -0.02, 0.03), seed=5)
     seq = synthetic.generate(cfg)
 
     def run(enable):
         window = WindowConfig(
             knot_separation=0.25, max_window=1.5, max_knots=12,
-            max_landmarks=160, max_bearing=4096, max_inertial=0,
-            max_prior=16, dtype=jnp.float64,
-            enable_marginalization=enable)
-        solver = SolverConfig(max_iterations=4, bearing_sqrt_info=500.0)
-        est = _run_estimator(seq, window, solver, use_imu=False,
+            max_landmarks=160, max_bearing=4096, max_inertial=512,
+            max_prior=16, bias_separation=2.0, max_bias_knots=8,
+            dtype=jnp.float64, enable_marginalization=enable)
+        solver = SolverConfig(
+            max_iterations=4, bearing_sqrt_info=458 / 0.3,
+            gyro_sqrt_info=1 / 2e-3, accel_sqrt_info=1 / 2e-2,
+            inertial_scale=1.0)
+        est = _run_estimator(seq, window, solver, use_imu=True,
                              prior_every=0.35)
         stamps, poses = est.export_trajectory(rate_hz=20.0)
         gt = np.asarray(seq.gt_pose(stamps - est.root_stamp))
@@ -171,7 +185,9 @@ def test_estimator_marginalization_e2e():
         return est, out
 
     est_m, ape_m = run(True)
-    assert est_m._marg_prior.active  # the window slid and built a prior
+    # the window slid and the prior accumulated genuine information
+    assert est_m._marg_ever_active
+    assert est_m._marg_prior.active
     assert ape_m["trans_rmse"] < 0.05, ape_m
     assert ape_m["rot_rmse_deg"] < 2.0, ape_m
 

@@ -1,0 +1,76 @@
+"""Time-axis sharded BA (parallel/time_ba.py): the 8-device halo-partitioned
+solve must match the single-device solve on the same window.
+
+Reference contrast: the reference has no distribution at all (SURVEY.md
+§2.4); the time axis partitioning with (order-1)-knot halos is the TPU-native
+SP/CP analogue (SURVEY §5.7, outerPadding ``ceres/optimizer.cpp:288-290``)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+import __graft_entry__ as ge
+from hyperslam_tpu.parallel import time_ba
+from hyperslam_tpu.solver import ba
+from hyperslam_tpu.solver.problem import SolverConfig
+
+
+def _problem(n_dev, K=32):
+    params, cams, imu, factors, masks = ge._build_problem(
+        K=K, L=32, FB=256, FI=96, FP=8, Kb=5, dtype=jnp.float64, seed=3)
+    cfg = SolverConfig(max_iterations=3, bearing_sqrt_info=100.0,
+                       gyro_sqrt_info=10.0, accel_sqrt_info=10.0,
+                       inertial_scale=1.0)
+    dt = jnp.asarray(0.1, jnp.float64)
+    bdt = jnp.asarray(1.0, jnp.float64)
+    return params, cams, imu, factors, masks, cfg, dt, bdt
+
+
+def test_time_partitioned_matches_single_device():
+    n_dev = 8
+    K = 32   # Ks = 4 >= halo = order - 1 = 3
+    params, cams, imu, factors, masks, cfg, dt, bdt = _problem(n_dev, K)
+
+    p_ref, c_ref, i_ref, st_ref = ba.optimize(
+        params, cams, imu, factors, masks, cfg, dt, bdt)
+
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), (time_ba.AXIS,))
+    f_td = time_ba.partition_factors_by_time(factors, K, n_dev)
+    # routed factor count equals the active input count
+    n_in = int(np.asarray(factors.bearing.active).sum())
+    n_out = int(np.asarray(f_td.bearing.active).sum())
+    assert n_in == n_out
+    p_t, c_t, i_t, st_t = time_ba.time_partitioned_optimize(
+        params, cams, imu, f_td, masks, cfg, dt, bdt, mesh)
+
+    np.testing.assert_allclose(np.asarray(st_t.initial_cost),
+                               np.asarray(st_ref.initial_cost), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(p_t.knots),
+                               np.asarray(p_ref.knots), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(p_t.landmarks),
+                               np.asarray(p_ref.landmarks), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(p_t.bias_g),
+                               np.asarray(p_ref.bias_g), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(st_t.final_cost),
+                               np.asarray(st_ref.final_cost), rtol=1e-8)
+
+
+def test_partition_routes_by_segment_ownership():
+    """Factors land on the chip owning their first support knot, with the
+    segment index rebased to the local slice."""
+    n_dev, K = 4, 16
+    params, cams, imu, factors, masks, cfg, dt, bdt = _problem(n_dev, K)
+    f_td = time_ba.partition_factors_by_time(factors, K, n_dev)
+    Ks = K // n_dev
+    s_orig = np.asarray(factors.bearing.s)
+    act = np.asarray(factors.bearing.active) > 0
+    owners = np.clip(s_orig[act] // Ks, 0, n_dev - 1)
+    counts = np.bincount(owners, minlength=n_dev)
+    s_td = np.asarray(f_td.bearing.s)
+    a_td = np.asarray(f_td.bearing.active) > 0
+    for d in range(n_dev):
+        assert a_td[d].sum() == counts[d]
+        # local segments stay inside the slice (halo only via support span)
+        assert (s_td[d][a_td[d]] >= 0).all()
+        assert (s_td[d][a_td[d]] < Ks).all()
