@@ -10,30 +10,36 @@ Partitioning (contrast with ``dist_ba.py``, which shards only the factor
 batch while every chip linearizes against the FULL window):
 
 - **Knots are sharded along time**: inside the mapped region chip d sees its
-  contiguous slice of ``Ks = K / n_dev`` knots plus a halo of ``order - 1``
+  contiguous slice of ``Ks = K / n_dev`` knots plus a halo of ``halo``
   knots received from its right neighbour with one ``ppermute`` — the only
   knot communication.  (A replicated (K, 7) copy also exists at the top
   level for the retraction step; at 7K floats it is negligible — the things
-  that grow with window length and data rate, the per-factor jacfwd
+  that grow with window length and data rate, the per-factor autodiff
   linearization and the row reductions, are what shard.)
 - **Factors are routed by segment** (host-side, one-time): chip d linearizes
   only factors whose first support knot lies in its slice; their Jacobian
   columns fall entirely inside its slice + halo, so its local system is a
-  band of the global one.
+  band of the global one.  Smoothness triples route by their first knot
+  (span 3 <= order - 1 + 1, inside the halo band); preintegrated factors
+  route by their *start* segment — their end segment may reach into the
+  halo, so the halo is widened to ``order - 1 + max_span`` (see
+  :func:`required_halo`); both ends must then fall within one slice + halo
+  (i.e. interval length < slice span), which holds for keyframe-rate
+  preintegration on any practical slicing.
 - Per-chip banded blocks are scattered to global column offsets and
   ``psum``-ed into the replicated reduced system (an overlap-add of bands).
   Bias/gravity/calibration columns are global (they couple all of time) and
-  reduce like any sum.
+  reduce like any sum.  The last chip's halo columns would alias the tail
+  (bias) columns; its halo contributions are explicitly zeroed before the
+  scatter, so the invariant is enforced rather than assumed.
+- The **marginal prior** is dense over the whole window (not banded); its
+  D0 x D0 row block is tiny and is linearized REPLICATED outside the
+  shard_map and added to the psum-reduced system — exact, with zero
+  communication.
 - The reduced solve (window-sized: ~30 knots online) runs replicated.  For
-  offline windows with thousands of knots the assembly here already
-  produces a banded system; the follow-up there is interface condensation
-  (eliminate each chip's interior onto its ``order - 1``-knot boundaries,
-  all-gather the tiny interface system), not a different partitioning.
-
-Preintegrated factors span two segments that may live on different chips
-and are not supported here — use ``dist_ba`` for those.  The marginal
-prior's rows touch the whole window (not banded) and are likewise
-unsupported in time-sharded mode.
+  offline windows with thousands of knots see ``condensed_ba.py`` —
+  interface condensation (eliminate each chip's interior onto its
+  boundary knots, all-gather the tiny interface system).
 """
 
 from __future__ import annotations
@@ -50,9 +56,35 @@ from ..solver import ba
 from ..solver.problem import (CameraCalib, Factors, ImuCalib, Masks, Params,
                               SolverConfig, make_layout)
 
-__all__ = ["partition_factors_by_time", "time_partitioned_optimize", "AXIS"]
+__all__ = ["partition_factors_by_time", "time_partitioned_optimize",
+           "required_halo", "AXIS"]
 
 AXIS = "time"
+
+
+def required_halo(factors: Factors, K: int, n_dev: int,
+                  order: int = 4) -> int:
+    """Halo width (knots borrowed from the right neighbour) needed so every
+    routed factor's support falls inside slice + halo.
+
+    Plain factors need ``order - 1``.  A preintegrated factor routed by its
+    start segment ``s_i`` additionally reaches ``s_j - s_i`` segments right:
+    halo >= s_j_local + order - Ks over all factors."""
+    Ks = K // n_dev
+    halo = order - 1
+    if factors.preint is not None:
+        act = np.asarray(factors.preint.active) > 0
+        if act.any():
+            s_i = np.asarray(factors.preint.s_i)[act]
+            s_j = np.asarray(factors.preint.s_j)[act]
+            need = int((s_j - (s_i // Ks) * Ks).max()) + order - Ks
+            halo = max(halo, need)
+    if halo > Ks:
+        raise ValueError(
+            f"required halo ({halo}) exceeds the per-chip slice ({Ks}): "
+            "a preintegration interval spans more than one slice — use "
+            "fewer chips, more knots, or dist_ba")
+    return halo
 
 
 def partition_factors_by_time(factors: Factors, K: int, n_dev: int,
@@ -61,18 +93,16 @@ def partition_factors_by_time(factors: Factors, K: int, n_dev: int,
     with segment indices rebased to the owner's slice (s_local = s - d*Ks).
 
     ``cap_per_dev`` defaults to the worst chip's count (static per window
-    configuration when the input capacities are static)."""
-    if factors.preint is not None:
-        raise NotImplementedError(
-            "preintegrated factors span two segments; use dist_ba")
-    if factors.marg is not None:
-        raise NotImplementedError(
-            "the marginal prior is not banded in time; use dist_ba")
+    configuration when the input capacities are static).  The marginal
+    prior (dense in time) is passed through unsharded — the solver applies
+    it replicated."""
     Ks = K // n_dev
     assert Ks * n_dev == K, "K must be divisible by n_dev"
 
-    def split_family(f):
-        s = np.asarray(f.s)
+    def split_family(f, key_field="s", rebase_fields=("s",)):
+        if f is None:
+            return None
+        s = np.asarray(getattr(f, key_field))
         act = np.asarray(f.active)
         owner = np.clip(np.where(act > 0, s // Ks, 0), 0, n_dev - 1)
         counts = np.bincount(owner[act > 0], minlength=n_dev) \
@@ -87,6 +117,12 @@ def partition_factors_by_time(factors: Factors, K: int, n_dev: int,
                     new[..., 2] = 1.0
                 elif arr.shape[1] == 7:  # pose: identity quaternion
                     new[..., 0] = 1.0
+            if name in ("dq",) and arr.ndim == 2:
+                new[..., 0] = 1.0        # identity preintegrated rotation
+            if name == "sqrt_info" and arr.ndim == 3:
+                new[:] = np.eye(arr.shape[-1], dtype=arr.dtype)
+            if name == "dt_ij":
+                new[:] = 1.0
             out[name] = new
         for d in range(n_dev):
             rows = np.nonzero((owner == d) & (act > 0))[0]
@@ -95,7 +131,7 @@ def partition_factors_by_time(factors: Factors, K: int, n_dev: int,
             n = len(rows)
             for name in out:
                 vals = np.asarray(getattr(f, name))[rows]
-                if name == "s":
+                if name in rebase_fields:
                     vals = vals - d * Ks
                 out[name][d, :n] = vals
         return type(f)(**{k: jnp.asarray(v) for k, v in out.items()})
@@ -105,24 +141,33 @@ def partition_factors_by_time(factors: Factors, K: int, n_dev: int,
         pixel=split_family(factors.pixel),
         inertial=split_family(factors.inertial),
         prior=split_family(factors.prior),
-        preint=None, marg=None)
+        preint=split_family(factors.preint, key_field="s_i",
+                            rebase_fields=("s_i", "s_j")),
+        smooth=split_family(factors.smooth, key_field="i",
+                            rebase_fields=("i",)),
+        marg=factors.marg)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "order"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "mesh", "order", "halo"))
 def time_partitioned_optimize(params: Params, cams: CameraCalib,
                               imu: ImuCalib, factors_td: Factors,
                               masks: Masks, cfg: SolverConfig,
-                              dt, bias_dt, mesh: Mesh, order: int = 4):
+                              dt, bias_dt, mesh: Mesh, order: int = 4,
+                              halo: int = None):
     """LM loop with time-sharded knots/factors (see module docstring).
 
-    ``factors_td``: output of :func:`partition_factors_by_time`.  Semantics
+    ``factors_td``: output of :func:`partition_factors_by_time`.  ``halo``:
+    knots borrowed from the right neighbour (default ``order - 1``; pass
+    :func:`required_halo` when preint factors are present).  Semantics
     identical to ``ba.optimize`` (fixed iterations, damping, acceptance)."""
     K = params.num_knots
     L = params.num_landmarks
     Kb = params.num_bias_knots
     n_dev = mesh.shape[AXIS]
     Ks = K // n_dev
-    halo = order - 1
+    if halo is None:
+        halo = order - 1
     assert Ks >= halo, (
         f"knot slice per chip ({Ks}) must cover the halo ({halo}): "
         f"use fewer chips or more knots")
@@ -130,7 +175,13 @@ def time_partitioned_optimize(params: Params, cams: CameraCalib,
     C = cams.T_bs.shape[0]
     D = make_layout(K, Kb, C, masks).D
 
-    fspec = jax.tree.map(lambda _: P(AXIS), factors_td)
+    # The marginal prior is dense in time: linearize it replicated, outside
+    # the sharded band reduction (its D0 rows are tiny next to the factor
+    # batch).  ``factors_sh`` is the sharded remainder.
+    marg = factors_td.marg
+    factors_sh = factors_td.replace(marg=None)
+
+    fspec = jax.tree.map(lambda _: P(AXIS), factors_sh)
     rep = P()
     perm = [(d, d - 1) for d in range(1, n_dev)]   # halo: right -> left
 
@@ -144,12 +195,17 @@ def time_partitioned_optimize(params: Params, cams: CameraCalib,
         return (jnp.concatenate([knots_sh, halo_knots], 0),
                 jnp.concatenate([kmask_sh, halo_mask], 0))
 
-    def cmap_for(d_idx):
-        """Local column -> global column (knot band at the chip's offset,
-        then the shared bias/gravity/calib tail)."""
+    def cmap_valid(d_idx):
+        """Local column -> (global column, validity).  On the last chip the
+        halo columns have no global counterpart (they would alias the bias
+        tail); they are flagged invalid and their contributions zeroed."""
         knot_cols = d_idx * Ks * 6 + jnp.arange((Ks + halo) * 6)
+        valid_k = knot_cols < K * 6
         tail = jnp.arange(K * 6, D)
-        return jnp.concatenate([knot_cols, tail])
+        cmap = jnp.concatenate([jnp.minimum(knot_cols, K * 6 - 1), tail])
+        valid = jnp.concatenate(
+            [valid_k, jnp.ones(D - K * 6, dtype=bool)])
+        return cmap, valid
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -163,8 +219,12 @@ def time_partitioned_optimize(params: Params, cams: CameraCalib,
         m_loc = m.replace(knots=kmask_loc)
         sys = ba.linearize(p_loc, c, i, f, m_loc, cfg, dt, bias_dt)
         H_loc, g_loc, Hll, gl, W_loc = ba.reduce_system(sys, L)
-        cmap = cmap_for(d_idx)
+        cmap, valid = cmap_valid(d_idx)
         sdt = H_loc.dtype
+        v = valid.astype(sdt)
+        H_loc = H_loc * v[:, None] * v[None, :]
+        g_loc = g_loc * v
+        W_loc = W_loc * v[None, :, None]
         H = jnp.zeros((D, D), sdt).at[jnp.ix_(cmap, cmap)].add(H_loc)
         g = jnp.zeros((D,), sdt).at[cmap].add(g_loc)
         W = jnp.zeros((L, D, 3), sdt).at[:, cmap, :].add(W_loc)
@@ -183,14 +243,30 @@ def time_partitioned_optimize(params: Params, cams: CameraCalib,
             ba.compute_cost(p_loc, c, i, f, cfg, dt, bias_dt), AXIS)
 
     def cost_of(p, c, i):
-        return cost_shard(p.knots, p, c, i, factors_td)
+        cost = cost_shard(p.knots, p, c, i, factors_sh)
+        if marg is not None:
+            rm = marg.sqrt_H @ ba._marg_local_diff(p, marg) + marg.r0
+            cost = cost + 0.5 * marg.active * jnp.sum(rm * rm)
+        return cost
+
+    def reduce_full(p, c, i):
+        H, g, Hll, gl, W = reduce_shard(p.knots, p, c, i, factors_sh,
+                                        masks.knots, masks)
+        if marg is not None:
+            lay = ba.problem_layout(p, c, masks)
+            msys = ba._linearize_marg(p, marg, cfg, lay)
+            cm = ba._col_mask(masks, lay, msys.J.dtype)
+            Jm = (msys.J * cm[None, :]).astype(H.dtype)
+            rm = msys.r.astype(H.dtype)
+            H = H + Jm.T @ Jm
+            g = g + Jm.T @ rm
+        return H, g, Hll, gl, W
 
     cost0 = cost_of(params, cams, imu)
 
     def body(carry, _):
         p, c, i, lam, cost = carry
-        H, g, Hll, gl, W = reduce_shard(p.knots, p, c, i, factors_td,
-                                        masks.knots, masks)
+        H, g, Hll, gl, W = reduce_full(p, c, i)
         dp, dl = ba.solve_reduced(H, g, Hll, gl, W, masks, lam, cfg)
         tp, tc, ti = ba.apply_delta(p, c, i, dp, dl, masks, cfg)
         trial = cost_of(tp, tc, ti)

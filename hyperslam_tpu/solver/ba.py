@@ -40,7 +40,8 @@ from .problem import (CameraCalib, Factors, ImuCalib, Layout, Masks, Params,
                       SolverConfig, make_layout)
 
 __all__ = ["linearize", "solve_normal_equations", "apply_delta",
-           "compute_cost", "optimize", "LinearSystem", "SolveStats"]
+           "compute_cost", "optimize", "batch_optimize", "LinearSystem",
+           "SolveStats"]
 
 
 class LinearSystem(NamedTuple):
@@ -119,7 +120,7 @@ def _linearize_bearing(params: Params, calib: CameraCalib, f,
         zc = jnp.zeros(6, dtype)
         r_raw = g(zk, zl, zc)
         args = (0, 1, 2) if lay.cext >= 0 else (0, 1)
-        Js = jax.jacfwd(g, argnums=args)(zk, zl, zc)
+        Js = jax.jacrev(g, argnums=args)(zk, zl, zc)
         Jk, Jl = Js[0], Js[1]
         # Robust weight in RAW residual units (the reference's Huber delta is
         # on the metric distance itself, ceres/optimizer.cpp:189-210); the
@@ -169,7 +170,7 @@ def _linearize_pixel(params: Params, calib: CameraCalib, f,
             args.append(3)
         if lay.cdist >= 0:
             args.append(4)
-        Js = jax.jacfwd(g, argnums=tuple(args))(zk, zl, zc, z4, z4)
+        Js = jax.jacrev(g, argnums=tuple(args))(zk, zl, zc, z4, z4)
         by_arg = dict(zip(args, Js))
         Jk, Jl = by_arg[0], by_arg[1]
         w = losses.huber_weight(jnp.sum(r_raw * r_raw), cfg.pixel_huber)
@@ -253,7 +254,7 @@ def _linearize_inertial(params: Params, imu: ImuCalib, f, cfg: SolverConfig,
         ze = jnp.zeros(6, dtype)
         r = g(zk, zb, zb, zg, ze)
         args = (0, 1, 2, 3, 4) if lay.iext >= 0 else (0, 1, 2, 3)
-        Js = jax.jacfwd(g, argnums=args)(zk, zb, zb, zg, ze)
+        Js = jax.jacrev(g, argnums=args)(zk, zb, zb, zg, ze)
         Jk, Jbg, Jba, Jg = Js[0], Js[1], Js[2], Js[3]
         # Reference: ScaledLoss(1.6e-5) on inertial residuals.
         sw = sq_scale * active
@@ -781,3 +782,25 @@ def optimize(params: Params, cams: CameraCalib, imu: ImuCalib,
     return p_fin, c_fin, i_fin, SolveStats(
         initial_cost=cost0, final_cost=cost_fin, lambda_final=lam_fin,
         accepted=accepted)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def batch_optimize(params: Params, cams: CameraCalib, imu: ImuCalib,
+                   factors: Factors, masks: Masks, cfg: SolverConfig,
+                   dt, bias_dt):
+    """Solve B independent windows in one device program (vmap over the full
+    LM loop).
+
+    The single-window solve is occupancy-bound on a TPU chip (PROFILE.md:
+    <=3% of FLOP peak at the reference envelope), so batching windows is
+    near-free parallelism: B windows cost far less than B sequential solves.
+    Production uses: multi-session/multi-robot serving (the reference's
+    ``Cluster`` of Systems, ``apps/hyperslam/main.cpp:25-36``), parameter
+    sweeps, and offline mapping over many trajectory segments.
+
+    All leading axes of ``params``/``factors``/``masks`` are the batch
+    dimension B; ``cams``/``imu`` are shared (one rig).  Returns the same
+    structure as :func:`optimize`, batched."""
+    def one(p, f, m):
+        return optimize(p, cams, imu, f, m, cfg, dt, bias_dt)
+    return jax.vmap(one)(params, factors, masks)

@@ -23,7 +23,11 @@ def main(argv=None):
     p.add_argument("settings", help="settings.yaml (reference schema)")
     p.add_argument("output", help="output directory")
     p.add_argument("--dataset", default=None,
-                   help="EuRoC sequence root (contains mav0/)")
+                   help="dataset root: EuRoC (contains mav0/) or KITTI "
+                        "odometry (contains times.txt + image_0/)")
+    p.add_argument("--format", default="auto",
+                   choices=["auto", "euroc", "kitti"],
+                   help="dataset layout (auto-sniffed by default)")
     p.add_argument("--synthetic", action="store_true",
                    help="run on the built-in synthetic sequence")
     p.add_argument("--duration", type=float, default=None,
@@ -63,6 +67,10 @@ def main(argv=None):
 
     spec = load_system_spec(args.settings)
     system = System(spec, dtype=dtype)
+    if system.show_tracks:
+        # the reference's show_tracks debug view (klt.cpp:103-141), headless:
+        # one annotated PNG per N frames under <output>/tracks/
+        system.enable_track_viz(os.path.join(args.output, "tracks"))
 
     if args.synthetic:
         from ..frontend import synthetic
@@ -76,8 +84,26 @@ def main(argv=None):
                 events.append(("imu", t, g, a))
         events.sort(key=lambda e: e[1])
     elif args.dataset:
+        from ..frontend import kitti as kitti_mod
         from ..frontend import native_io
-        if native_io.available():
+        fmt = args.format
+        if fmt == "auto":
+            fmt = "kitti" if kitti_mod.looks_like_kitti(args.dataset) \
+                else "euroc"
+        if fmt == "kitti":
+            ds = kitti_mod.KittiSequence(args.dataset)
+            # per-sequence rectified calibration overrides the setup YAML
+            # (the YAML carries seq-00 values; calib.txt is authoritative)
+            if os.path.isfile(os.path.join(args.dataset, "calib.txt")):
+                system.cams = ds.calib(dtype)
+                system.estimator.cams = system.cams
+                system.estimator.cams_np = {
+                    "T_bs": np.asarray(system.cams.T_bs, np.float64),
+                    "intr": np.asarray(system.cams.intrinsics, np.float64),
+                    "dist": np.asarray(system.cams.distortion, np.float64),
+                }
+            events = ds.events(max_duration=args.duration)
+        elif native_io.available():
             # native C++ runtime: threaded PNG prefetch + stream merge
             events = native_io.NativeEurocStream(
                 args.dataset, use_imu=not args.no_imu,

@@ -57,6 +57,8 @@ class FrontendSpec:
     backend: str = ""
     max_queue_size: int = 20
     klt: Optional[KLTConfig] = None
+    # reference debug view flag (settings.yaml:124, klt.cpp:103-141)
+    show_tracks: bool = False
 
 
 @dataclasses.dataclass
@@ -150,6 +152,7 @@ def _parse_frontend(node: dict) -> FrontendSpec:
             levels=int(node.get("num_pyramid_levels", 3)),
             fb_threshold=float(node.get("max_track_error", 0.5)),
         )
+        spec.show_tracks = bool(node.get("show_tracks", False))
     return spec
 
 

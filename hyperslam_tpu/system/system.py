@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ..evaluation import metrics
 from ..frontend.klt import StereoKLT
+from ..utils.timing import StageTimer
 from ..window.estimator import SlidingWindowEstimator, WindowConfig
 from . import config as cfg_mod
 
@@ -51,19 +52,34 @@ class System:
         self.has_imu = any(s.type == "imu" for s in spec.sensors)
         self._frames = 0
         self._imu_samples = 0
+        # Observability: per-stage wall-time stats (reference has only glog
+        # + BriefReport, SURVEY §5.1) + the reference's show_tracks debug
+        # view (klt.cpp:103-141, settings.yaml:124) — enabled by the CLI via
+        # enable_track_viz when the YAML flag is set.
+        self.timer = StageTimer()
+        self.show_tracks = bool(vis and vis[0].show_tracks)
+        self.viz = None
+
+    def enable_track_viz(self, out_dir: str, every: int = 5):
+        from ..frontend.viz import TrackVisualizer
+        self.viz = TrackVisualizer(out_dir, every=every)
 
     # -- frontend callbacks (reference AbstractFrontend::callback) -------- #
 
     def on_stereo_images(self, stamp: float, img0: np.ndarray,
                          img1: np.ndarray):
-        ids, p0, p1 = self.klt.process(img0, img1)
+        with self.timer.stage("klt"):
+            ids, p0, p1 = self.klt.process(img0, img1)
+        if self.viz is not None:
+            self.viz(img0, img1, p0, p1, ids, stamp=stamp)
         if len(ids) == 0:
             return
         cam_idx = np.concatenate([np.zeros(len(ids), int),
                                   np.ones(len(ids), int)])
         tids = np.concatenate([ids, ids])
         px = np.concatenate([p0, p1])
-        self.estimator.add_visual_tracks(stamp, cam_idx, tids, px)
+        with self.timer.stage("estimator_visual"):
+            self.estimator.add_visual_tracks(stamp, cam_idx, tids, px)
         self._frames += 1
 
     def on_visual_tracks(self, stamp: float, cam_idx, tids, px):
@@ -72,7 +88,8 @@ class System:
         self._frames += 1
 
     def on_imu(self, stamp: float, gyro, accel):
-        self.estimator.add_imu(stamp, gyro, accel)
+        with self.timer.stage("estimator_imu"):
+            self.estimator.add_imu(stamp, gyro, accel)
         self._imu_samples += 1
 
     def on_pose_prior(self, stamp: float, T_ws):
@@ -116,6 +133,10 @@ class System:
         ``estimation.hyper`` rows 'stamp, SE3 params' + TUM conversion)."""
         os.makedirs(output_dir, exist_ok=True)
         stamps, poses = self.estimator.export_trajectory(rate_hz)
+        # per-stage wall-time stats (SURVEY §5.1 recommendation)
+        import json
+        with open(os.path.join(output_dir, "stage_times.json"), "w") as f:
+            json.dump(self.timer.as_dict(), f, indent=2)
         hyper_path = os.path.join(output_dir, "estimation.hyper")
         with open(hyper_path, "w") as f:
             for t, p in zip(stamps, poses):

@@ -276,6 +276,14 @@ class SlidingWindowEstimator:
         dying_i = [b for b in self._inertial if b[0] < lo_new]
         dying_p = [b for b in self._prior if b[0] < lo_new]
         dying_q = [m for m in self._preint_meas if m.t_i < lo_new]
+        # debug toggles (diagnostics only; default = full behavior)
+        if not getattr(self, "_dbg_fold_visual", True):
+            dying_b = []
+        if not getattr(self, "_dbg_fold_inertial", True):
+            dying_i = []
+        if not getattr(self, "_dbg_fold_prior", True):
+            dying_p = []
+        _fold_smooth = getattr(self, "_dbg_fold_smooth", True)
         surviving = {b[2] for b in self._bearing if b[0] >= lo_new}
         dying_slots = sorted({b[2] for b in dying_b} - surviving)
         # Visual rows usable for marginalization: only those on landmarks
@@ -295,11 +303,13 @@ class SlidingWindowEstimator:
         # surviving knots 1..2 even in vision-only runs.
         has_dying = (bool(dying_b) or bool(dying_i) or bool(dying_p)
                      or bool(dying_q)
-                     or (self.w.enable_smoothness and self.num_knots >= 3))
+                     or (_fold_smooth and self.w.enable_smoothness
+                         and self.num_knots >= 3))
         if has_dying:
             factors = self._build_factors(
                 bearing=dying_b, inertial=dying_i, prior=dying_p,
-                preint=dying_q, attach_marg=False, smooth_idx=[0])
+                preint=dying_q, attach_marg=False,
+                smooth_idx=[0] if _fold_smooth else [])
             masks = self._build_masks(for_marginalization=True)
             sys = _linearize_jit(
                 self._params(), self.cams, self.imu, factors, masks,

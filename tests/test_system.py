@@ -72,3 +72,48 @@ def test_window_config_from_spec():
     assert w.knot_separation == 0.1
     assert w.max_window == 3.0
     assert w.max_knots >= 30
+
+
+def test_show_tracks_and_stage_times(tmp_path):
+    """The reference's show_tracks debug view (klt.cpp:103-141, YAML flag
+    settings.yaml:124) writes annotated PNGs; per-stage wall-time stats land
+    in stage_times.json (SURVEY §5.1)."""
+    import yaml
+    from hyperslam_tpu.system.system import System
+
+    doc = {"Node": "H", "System": {
+        "name": "S", "modules": [{"name": "M"}],
+        "sensors": [
+            {"type": "CAMERA", "name": f"cam{c}", "module": "M",
+             "frontend": "F", "topic": f"/c{c}",
+             "transformation": [0, 0, 0, 1, 0.05 * c, 0, 0],
+             "intrinsics": [94, 60, 115, 115],
+             "distortion": {"parameters": [0, 0, 0, 0]}}
+            for c in range(2)],
+        "frontends": [{"type": "VISUAL", "name": "F", "backend": "B",
+                       "show_tracks": True, "patch_size": 9,
+                       "num_pyramid_levels": 2, "max_num_tracks": 40,
+                       "min_track_separation": 8}],
+        "backends": [{"name": "B", "separation": 0.25, "max_window": 1.0}],
+    }}
+    p = tmp_path / "s.yaml"
+    p.write_text(yaml.safe_dump(doc))
+    spec = cfg_mod.load_system_spec(str(p))
+    assert spec.frontends[0].show_tracks
+    system = System(spec, dtype=jnp.float64)
+    assert system.show_tracks
+    viz_dir = str(tmp_path / "tracks")
+    system.enable_track_viz(viz_dir, every=1)
+
+    rng = np.random.default_rng(0)
+    base = (rng.uniform(0, 255, (120, 188)) * 0.3
+            + 128).astype(np.uint8)
+    events = [("stereo", 0.1 * i, base, base) for i in range(3)]
+    system.run(events)
+    out = str(tmp_path / "out")
+    system.shutdown(out)
+    import json
+    st = json.load(open(os.path.join(out, "stage_times.json")))
+    assert "klt" in st and st["klt"]["count"] == 3
+    pngs = os.listdir(viz_dir)
+    assert len(pngs) == 3 and all(n.endswith(".png") for n in pngs)
