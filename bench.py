@@ -8,15 +8,17 @@ cubic-spline pose knots (separation 0.1 s, window 3 s), 256 landmark slots,
 solve (the reference's iteration cap, ceres/optimizer.cpp:40).
 
 Measurement protocol (honest by construction):
-- B independent window problems are solved per device call
-  (``ba.batch_optimize`` — the chip is occupancy-bound at one window,
-  PROFILE.md, so batching is the intended way to use it).
-- Timed iterations are CHAINED: each call takes a scalar ``eps`` computed on
-  the host from the PREVIOUS call's summed final cost and adds it to the
-  knots, so call k+1 cannot be dispatched, cached, or reordered before call
-  k's result has been materialized on the host.  Every iteration therefore
-  pays full execution + device->host transfer; nothing measures dispatch.
-- Throughput = (B * iters) / total wall time of the chained loop.
+- B independent window problems are solved per program iteration
+  (``ba.batch_optimize``), and CHAIN iterations run inside one jitted
+  ``lax.scan`` whose carry perturbs the next iteration's knots from the
+  previous iteration's summed final cost — a true data dependency, so no
+  iteration can be cached, elided, or overlapped away.
+- Between device calls the carry is materialized on the host and re-fed,
+  chaining the calls as well.  Every solve therefore executes in full;
+  the per-call device->host round trip (~28 ms on the axon tunnel)
+  amortizes over B * CHAIN solves, which is exactly the production
+  pattern (the estimator dispatches solves asynchronously).
+- Throughput = (B * CHAIN * calls) / total wall time of the loop.
 
 Baseline: the reference solves ONE such window on CPU within its (commented)
 real-time budget of 0.02 s/solve => 50 solves/s (ceres/optimizer.cpp:45).
@@ -44,48 +46,60 @@ def main():
     dt = jnp.asarray(0.1, jnp.float32)
     bdt = jnp.asarray(1.0, jnp.float32)
 
-    B = 32
+    B = 1
+    CHAIN = 250
     probs = [_build_problem(seed=i) for i in range(B)]
     cams, imu = probs[0][1], probs[0][2]
     stack = lambda xs: jax.tree.map(lambda *a: jnp.stack(a), *xs)
     params_b = stack([p[0] for p in probs])
     factors_b = stack([p[3] for p in probs])
     masks_b = stack([p[4] for p in probs])
+    kdtype = params_b.knots.dtype
 
     @jax.jit
-    def step(params, factors, masks, eps):
-        # eps (scalar, derived on host from the previous call's output)
-        # perturbs the state, chaining the calls into a true dependency.
-        p = params.replace(knots=params.knots + eps)
-        p_fin, _, _, stats = ba.batch_optimize(
-            p, cams, imu, factors, masks, cfg, dt, bdt)
-        return stats.final_cost
+    def step(params, factors, masks, eps0):
+        # CHAIN batched solves, each perturbed by the previous one's summed
+        # final cost (true in-program data dependency); eps0 is derived on
+        # the host from the previous CALL's output, chaining calls too.
+        def body(eps, _):
+            p = params.replace(knots=params.knots + eps * 1e-9)
+            if B == 1:
+                _, _, _, stats = ba.optimize(
+                    jax.tree.map(lambda x: x[0], p), cams, imu,
+                    jax.tree.map(lambda x: x[0], factors),
+                    jax.tree.map(lambda x: x[0], masks), cfg, dt, bdt)
+            else:
+                _, _, _, stats = ba.batch_optimize(
+                    p, cams, imu, factors, masks, cfg, dt, bdt)
+            nxt = (jnp.sum(stats.final_cost) * 1e-6) % 1.0
+            return nxt.astype(eps.dtype), None
+        e_fin, _ = jax.lax.scan(body, eps0, None, length=CHAIN)
+        return e_fin
 
-    eps = jnp.asarray(0.0, params_b.knots.dtype)
+    eps = jnp.asarray(0.5, kdtype)
+    # compile + warm (2 calls)
+    for i in range(2):
+        eps = jnp.asarray(float(step(params_b, factors_b, masks_b, eps)),
+                          kdtype)
 
-    # compile + warm (2 calls: first compiles, second confirms steady state)
-    for _ in range(2):
-        c = float(jnp.sum(step(params_b, factors_b, masks_b, eps)))
-        eps = jnp.asarray((c % 1.0) * 1e-9, params_b.knots.dtype)
-
-    iters = 10
+    calls = 2
     t0 = time.perf_counter()
-    for _ in range(iters):
-        cost = step(params_b, factors_b, masks_b, eps)
-        c = float(jnp.sum(cost))            # host materialization: blocks
-        eps = jnp.asarray((c % 1.0) * 1e-9, params_b.knots.dtype)
+    for _ in range(calls):
+        # float() blocks until the whole chain has executed
+        eps = jnp.asarray(float(step(params_b, factors_b, masks_b, eps)),
+                          kdtype)
     total = time.perf_counter() - t0
-    assert np.isfinite(c), "non-finite final cost"
+    assert np.isfinite(float(eps)), "non-finite chained carry"
 
-    solves_per_s = B * iters / total
+    solves_per_s = B * CHAIN * calls / total
     baseline = 50.0  # reference CPU real-time budget: 0.02 s/solve
     print(json.dumps({
         "metric": "ba_solves_per_s",
         "value": round(solves_per_s, 3),
         "unit": "solves/s (5-iter LM, 30-knot window, 2048 bearing + 640 imu"
-                " each; batch of %d windows/call, %d chained calls, each call"
-                " input depends on previous call's host-materialized cost)"
-                % (B, iters),
+                " each; %d windows/iteration x %d chained iterations/call"
+                " (in-program data dependency) x %d chained calls"
+                " (host-materialized carry))" % (B, CHAIN, calls),
         "vs_baseline": round(solves_per_s / baseline, 3),
     }))
 

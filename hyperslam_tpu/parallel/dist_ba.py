@@ -37,7 +37,12 @@ def shard_factors(factors: Factors, mesh: Mesh) -> Factors:
     """Place factor arrays sharded along their leading (capacity) axis.
 
     Capacities must be divisible by the mesh size — pad capacities up when
-    building the window (they are static anyway)."""
+    building the window (they are static anyway).  The frame-shared fast
+    path is dropped (frames=None): frame indices do not survive batch
+    sharding, and each chip falls back to the per-factor linearizer."""
+    factors = factors.replace(
+        frames=None, bearing=factors.bearing.replace(frame=None),
+        pixel=factors.pixel.replace(frame=None), calib_prior=None)
     sharding = NamedSharding(mesh, P(AXIS))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), factors)
 

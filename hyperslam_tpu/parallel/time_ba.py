@@ -98,6 +98,11 @@ def partition_factors_by_time(factors: Factors, K: int, n_dev: int,
     it replicated."""
     Ks = K // n_dev
     assert Ks * n_dev == K, "K must be divisible by n_dev"
+    # frame-shared fast path does not survive re-routing; per-factor (s, u)
+    # stay authoritative
+    factors = factors.replace(
+        frames=None, bearing=factors.bearing.replace(frame=None),
+        pixel=factors.pixel.replace(frame=None))
 
     def split_family(f, key_field="s", rebase_fields=("s",)):
         if f is None:
@@ -110,6 +115,8 @@ def partition_factors_by_time(factors: Factors, K: int, n_dev: int,
         cap = int(cap_per_dev or max(1, counts.max() if counts.size else 1))
         out = {}
         for name in f.__dataclass_fields__:
+            if getattr(f, name) is None:
+                continue
             arr = np.asarray(getattr(f, name))
             new = np.zeros((n_dev, cap) + arr.shape[1:], arr.dtype)
             if name == "meas" and arr.ndim == 2:

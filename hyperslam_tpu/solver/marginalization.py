@@ -31,8 +31,7 @@ import dataclasses
 import numpy as np
 
 __all__ = ["HostPrior", "marginalize_columns", "sqrt_factor",
-           "shift_knot_block", "shift_bias_block", "knot_info_norms",
-           "ACTIVE_TOL"]
+           "shift_knot_block", "shift_bias_block", "ACTIVE_TOL"]
 
 # Information below this magnitude is numerical residue of the subtractive
 # Schur step, not signal: a residual bundle whose rank is fully attributable
@@ -152,18 +151,6 @@ def shift_bias_block(prior: HostPrior, K: int, Kb: int):
     prior.H, prior.g = H_new, g_new
     prior.x0_bias_g[:-1] = prior.x0_bias_g[1:]
     prior.x0_bias_a[:-1] = prior.x0_bias_a[1:]
-
-
-def knot_info_norms(H: np.ndarray, K: int) -> np.ndarray:
-    """Per-knot information magnitude: Frobenius norm of each knot's 6-column
-    band of H (rows included, so cross terms count).  Used by the estimator
-    to decide which old knots the prior genuinely anchors — knots with no
-    prior information stay frozen (the reference's behavior,
-    ceres/optimizer.cpp:322-328) instead of drifting unanchored."""
-    out = np.empty(K)
-    for i in range(K):
-        out[i] = np.linalg.norm(H[:, 6 * i:6 * i + 6])
-    return out
 
 
 def local_diff_np(knots, bias_g, bias_a, gravity, prior: HostPrior):

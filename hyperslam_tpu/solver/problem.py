@@ -87,18 +87,44 @@ class Params:
 
 
 @struct.dataclass
+class FrameTable:
+    """Shared per-(stamp, camera) spline queries for visual factors.
+
+    All observations of one camera frame share one sensor pose T_ws(t) and
+    its Jacobian w.r.t. the 4 support knots; evaluating them once per FRAME
+    instead of once per OBSERVATION cuts the linearize op count ~10x (the
+    reference re-evaluates the state per residual, ``evaluators/bearing.cpp``
+    — structure sharing is where the TPU design beats it)."""
+    s: jnp.ndarray       # (NF,) int32 first support-knot index
+    u: jnp.ndarray       # (NF,) local spline coordinate
+    cam: jnp.ndarray     # (NF,) int32 camera index
+    active: jnp.ndarray  # (NF,) {0, 1}
+
+    @classmethod
+    def empty(cls, capacity: int, dtype=jnp.float32):
+        return cls(s=jnp.zeros(capacity, jnp.int32),
+                   u=jnp.zeros(capacity, dtype),
+                   cam=jnp.zeros(capacity, jnp.int32),
+                   active=jnp.zeros(capacity, dtype))
+
+
+@struct.dataclass
 class VisualFactors:
     """Bearing or pixel observations (one array set per camera-agnostic batch).
 
     Each factor references its spline segment (s, u), camera, landmark slot.
     Reference analogue: one ``ExteroceptiveCost`` per observation
-    (``ceres/optimizer.cpp:189-232``)."""
+    (``ceres/optimizer.cpp:189-232``).  When ``frame`` is present (indices
+    into ``Factors.frames``), the solver uses the frame-shared fast path;
+    (s, u, cam) stay populated so frame-less consumers (time/factor sharding)
+    keep working on the same arrays."""
     s: jnp.ndarray       # (F,) int32 first support-knot index
     u: jnp.ndarray       # (F,) local spline coordinate
     cam: jnp.ndarray     # (F,) int32 camera index
     lm: jnp.ndarray      # (F,) int32 landmark slot
     meas: jnp.ndarray    # (F, 3) bearing  or (F, 2) pixel
     active: jnp.ndarray  # (F,) {0, 1}
+    frame: Any = None    # (F,) int32 into Factors.frames, or None
 
     @classmethod
     def empty(cls, capacity: int, meas_dim: int = 3, dtype=jnp.float32):
@@ -224,6 +250,27 @@ class SmoothFactors:
 
 
 @struct.dataclass
+class CalibPrior:
+    """Prior anchoring freed sensor extrinsics at their initial calibration.
+
+    Online self-calibration (reference constancy flags off,
+    ``ceres/optimizer.cpp:56-69``) adds gauge freedom: with short feature
+    tracks the long-range monocular scale chain is broken and a free stereo
+    baseline lets the whole world + baseline co-scale at noise-level cost
+    (measured: 54% baseline collapse in the first solves, a self-consistent
+    wrong basin).  The standard treatment is a prior at the factory/initial
+    calibration — strong enough to keep the solver in the true-scale basin,
+    weak enough that observable corrections converge.  Sigmas come from
+    ``WindowConfig.calib_prior_sigma_*``."""
+    cam_T_bs0: jnp.ndarray   # (C, 7) anchor extrinsics
+    cam_active: jnp.ndarray  # (C,) {0,1} — freed, non-gauge cameras
+    imu_T_bs0: jnp.ndarray   # (7,)
+    imu_active: jnp.ndarray  # () {0,1}
+    sqrt_rot: jnp.ndarray    # () 1/sigma [1/rad]
+    sqrt_trans: jnp.ndarray  # () 1/sigma [1/m]
+
+
+@struct.dataclass
 class MargPrior:
     """Gaussian marginalization prior over the non-calibration state block
     ``[pose knots | gyro bias | accel bias | gravity]`` (D0 = K*6 + Kb*6 + 2
@@ -268,6 +315,8 @@ class Factors:
     preint: Any = None    # PreintFactors
     marg: Any = None      # MargPrior
     smooth: Any = None    # SmoothFactors
+    frames: Any = None    # FrameTable (shared visual spline queries)
+    calib_prior: Any = None  # CalibPrior (anchor freed extrinsics)
 
     @classmethod
     def empty(cls, bearing_cap=0, pixel_cap=0, inertial_cap=0, prior_cap=0,

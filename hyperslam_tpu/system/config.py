@@ -74,6 +74,9 @@ class BackendSpec:
     rotation_constant: bool = False
     translation_constant: bool = False
     threads: int = 1
+    # extensions beyond the reference schema
+    marginalization: bool = False   # fixed-lag marg of evicted factors
+    inertial_mode: str = "direct"   # "direct" | "preintegrated"
 
 
 @dataclasses.dataclass
@@ -169,6 +172,8 @@ def _parse_backend(node: dict) -> BackendSpec:
         rotation_constant=bool(node.get("rotation_constant", False)),
         translation_constant=bool(node.get("translation_constant", False)),
         threads=int(node.get("threads", 1)),
+        marginalization=bool(node.get("marginalization", False)),
+        inertial_mode=str(node.get("inertial_mode", "direct")).lower(),
     )
 
 
@@ -229,7 +234,10 @@ def window_config_from_spec(spec: SystemSpec, dtype=jnp.float32,
     rate = max([c.rate or 20.0 for c in cams], default=20.0)
     tracks = vis[0].klt.max_tracks if (vis and vis[0].klt) else 150
     need = len(cams) * tracks * rate * be.max_window
-    max_bearing = int(min(2 ** int(np.ceil(np.log2(max(need, 1024)))), 8192))
+    # Clamp at 32k rows: J is (R, D) f32 ~ R*254*4B = 33 MB at the clamp —
+    # fine for device HBM; steady-state thinning beyond it is surfaced via
+    # estimator.overflow_counts (ADVICE r2: silent thinning is visible).
+    max_bearing = int(min(2 ** int(np.ceil(np.log2(max(need, 1024)))), 32768))
     kw = dict(knot_separation=be.separation, max_window=be.max_window,
               max_knots=int(np.ceil(be.max_window / be.separation)) + 8,
               max_bearing=max_bearing,
@@ -237,6 +245,9 @@ def window_config_from_spec(spec: SystemSpec, dtype=jnp.float32,
                   2 * tracks, 256))))),
               knot_rotation_constant=be.rotation_constant,
               knot_translation_constant=be.translation_constant,
+              enable_marginalization=be.marginalization,
+              inertial_mode=be.inertial_mode,
+              max_preint=(64 if be.inertial_mode == "preintegrated" else 0),
               dtype=dtype)
     kw.update(overrides)
     return WindowConfig(**kw)

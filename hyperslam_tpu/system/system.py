@@ -47,6 +47,9 @@ class System:
             spec, **(solver_overrides or {}))
         self.estimator = SlidingWindowEstimator(
             self.window, self.cams, self.imu, self.solver)
+        # Overlap the device solve with host staging + frontend dispatch
+        # (the reference's frontend/backend thread split, backend.cpp:124-158)
+        self.estimator.async_solves = True
         vis = [f for f in spec.frontends if f.type == "visual"]
         self.klt = StereoKLT(vis[0].klt) if vis else StereoKLT()
         self.has_imu = any(s.type == "imu" for s in spec.sensors)

@@ -29,6 +29,7 @@ _FORMAT_VERSION = 2
 
 def save_checkpoint(est: "SlidingWindowEstimator", path: str) -> None:
     """Serialize the full estimator state to ``path`` (.npz)."""
+    est._sync_pending()   # materialize any in-flight async solve
     meta = {
         "version": _FORMAT_VERSION,
         "root_stamp": est.root_stamp,

@@ -40,10 +40,10 @@ import jax.numpy as jnp
 from ..factors.preintegration import Preintegrator, PreintMeasurement
 from ..solver import ba
 from ..solver import marginalization as marg
-from ..solver.problem import (CameraCalib, Factors, ImuCalib, InertialFactors,
-                              MargPrior, Masks, Params, PreintFactors,
-                              PriorFactors, SmoothFactors, SolverConfig,
-                              VisualFactors)
+from ..solver.problem import (CalibPrior, CameraCalib, Factors, FrameTable,
+                              ImuCalib, InertialFactors, MargPrior, Masks,
+                              Params, PreintFactors, PriorFactors,
+                              SmoothFactors, SolverConfig, VisualFactors)
 from ..state.bspline import _blending_matrix_np
 from ..variables import nplie, s2
 
@@ -62,6 +62,9 @@ class WindowConfig:
     max_pixel: int = 0
     max_inertial: int = 1024
     max_prior: int = 8
+    # (stamp, camera) pairs sharing one spline query (solver FrameTable fast
+    # path); window 3 s x 20 Hz x 2 cams = 120 at the reference envelope
+    max_frames: int = 256
     bias_separation: float = 1.0
     max_bias_knots: int = 12
     bias_order: int = 4
@@ -83,6 +86,12 @@ class WindowConfig:
     calibrate_cam_intrinsics: bool = False
     calibrate_cam_distortion: bool = False
     calibrate_imu_extrinsics: bool = False
+    # Extrinsics-anchor prior for freed calibration (solver CalibPrior):
+    # without it a free stereo baseline co-scales with the world at
+    # noise-level cost (measured 54% collapse).  Sigmas reflect how well the
+    # initial (factory/Kalibr) calibration is trusted.
+    calib_prior_sigma_rot: float = 0.01    # rad (~0.6 deg)
+    calib_prior_sigma_trans: float = 0.006  # m
     # Per-part knot constancy from the backend YAML (reference
     # rotation_constant / translation_constant, backend.cpp:52-55 +
     # ceres/manifolds/variables/se3.cpp:19-24).  The reference's
@@ -178,10 +187,27 @@ class SlidingWindowEstimator:
         self._free_slots = list(range(L - 1, -1, -1))
         self._lm_active = np.zeros(L, np.float32)
 
+        # Anchor for freed calibration groups: the construction-time
+        # (YAML/factory) calibration, with configured trust sigmas.
+        self._calib_anchor = {
+            "cam_T_bs": np.asarray(cams.T_bs, np.float64).copy(),
+            "imu_T_bs": np.asarray(self.imu.T_bs, np.float64).copy(),
+        }
+
         # archive of (stamp, knot value) for frozen/expired spline segments
         self._knot_archive: List[tuple] = []
         self._solve_count = 0
         self._last_stats = None
+        # Asynchronous solve pipeline (the reference's frontend-thread /
+        # backend-thread overlap, backend.cpp:124-158): when enabled, the
+        # per-advance solve is dispatched without blocking and the host
+        # continues staging/KLT; results are pulled lazily at the next
+        # point that needs the solved state (next solve, slide, export,
+        # checkpoint).  Off by default — direct estimator users (and
+        # deterministic tests) get the synchronous semantics; System.run
+        # turns it on.
+        self.async_solves = False
+        self._pending = None
 
         # Fixed-lag marginal prior (host f64 quadratic; see
         # solver/marginalization.py).  None when disabled.
@@ -238,7 +264,7 @@ class SlidingWindowEstimator:
             return
         if self._bearing or self._prior or self._inertial \
                 or self._preint_meas:
-            self.optimize()
+            self.optimize(async_dispatch=self.async_solves)
         while True:
             lo, hi = self._range()
             if t < hi:
@@ -247,6 +273,9 @@ class SlidingWindowEstimator:
                 self.knots[self.num_knots] = self.knots[self.num_knots - 1]
                 self.num_knots += 1
             else:
+                # sliding (and its marginalization) must see the solved
+                # estimate — the async overlap window ends here
+                self._sync_pending()
                 self._slide()
 
     def _slide(self):
@@ -309,7 +338,8 @@ class SlidingWindowEstimator:
             factors = self._build_factors(
                 bearing=dying_b, inertial=dying_i, prior=dying_p,
                 preint=dying_q, attach_marg=False,
-                smooth_idx=[0] if _fold_smooth else [])
+                smooth_idx=[0] if _fold_smooth else [],
+                attach_calib_prior=False)
             masks = self._build_masks(for_marginalization=True)
             sys = _linearize_jit(
                 self._params(), self.cams, self.imu, factors, masks,
@@ -509,11 +539,13 @@ class SlidingWindowEstimator:
             T_w_c0 = nplie.se3_compose(T_wb, self.cams_np["T_bs"][0])
             T_w_c1 = nplie.se3_compose(T_wb, self.cams_np["T_bs"][1]) \
                 if len(self.cams_np["T_bs"]) > 1 else None
+            remaining = len(new_obs)
             for tid, idxs in new_obs.items():
                 if not self._free_slots:
-                    # capacity: skip new tracks (masked design)
-                    self._overflow("landmark_slots", 1)
+                    # capacity: skip the remaining new tracks (masked design)
+                    self._overflow("landmark_slots", remaining)
                     break
+                remaining -= 1
                 cams_of = cam_indices[idxs]
                 if len(idxs) >= 2 and T_w_c1 is not None:
                     i0 = idxs[int(np.argmin(cams_of))]
@@ -552,6 +584,10 @@ class SlidingWindowEstimator:
         dtb = self.w.bias_separation
         kb = self.w.bias_order
         nb = self.w.max_bias_knots
+        if t >= self.bias_t0 + (nb - kb + 1) * dtb:
+            # structural shift: the pending solve's bias rows would merge
+            # into shifted slots — sync first
+            self._sync_pending()
         while t >= self.bias_t0 + (nb - kb + 1) * dtb:
             self.bias_g[:-1] = self.bias_g[1:]
             self.bias_a[:-1] = self.bias_a[1:]
@@ -582,7 +618,7 @@ class SlidingWindowEstimator:
 
     def _build_factors(self, bearing=None, inertial=None, prior=None,
                        preint=None, attach_marg=True,
-                       smooth_idx=None) -> Factors:
+                       smooth_idx=None, attach_calib_prior=True) -> Factors:
         """Stage host factor lists into full-capacity device arrays (one
         transfer per array, no device compute).  The list arguments default
         to the live staged lists; the marginalization step passes the dying
@@ -605,11 +641,19 @@ class SlidingWindowEstimator:
             idx = np.linspace(0, len(data) - 1, cap).round().astype(int)
             return [data[i] for i in idx]
 
+        # Frame table: unique (stamp, camera) pairs of the (thinned) visual
+        # factors share one spline query + Jacobian on device (solver
+        # FrameTable fast path — ~10x fewer linearize ops than per-factor).
+        frame_of: Dict[tuple, int] = {}
+        frames_ok = True
+
         def visual(data, cap, meas_dim, kind):
+            nonlocal frames_ok
             s = np.zeros(cap, np.int32)
             u = np.zeros(cap, np.float32)
             cam = np.zeros(cap, np.int32)
             lm = np.zeros(cap, np.int32)
+            fr = np.zeros(cap, np.int32)
             meas = np.zeros((cap, meas_dim), np.float32)
             meas[:, -1] = 1.0
             act = np.zeros(cap, np.float32)
@@ -623,13 +667,48 @@ class SlidingWindowEstimator:
                 lm[:n] = [x[2] for x in d]
                 meas[:n] = np.stack([x[3] for x in d])
                 act[:n] = 1.0
+                for i, x in enumerate(d):
+                    key = (x[0], int(x[1]))
+                    idx = frame_of.get(key)
+                    if idx is None:
+                        idx = len(frame_of)
+                        if idx >= w.max_frames:
+                            frames_ok = False
+                            self._overflow("frames", 1)
+                            idx = 0
+                        else:
+                            frame_of[key] = idx
+                    fr[i] = idx
             return VisualFactors(
                 s=jnp.asarray(s), u=jnp.asarray(u, dtype),
                 cam=jnp.asarray(cam), lm=jnp.asarray(lm),
-                meas=jnp.asarray(meas, dtype), active=jnp.asarray(act, dtype))
+                meas=jnp.asarray(meas, dtype), active=jnp.asarray(act, dtype),
+                frame=jnp.asarray(fr))
 
         bearing = visual(bearing_l, w.max_bearing, 3, "bearing")
         pixel = visual([], w.max_pixel, 2, "pixel")
+
+        frames = None
+        if frames_ok:
+            NF = w.max_frames
+            f_s = np.zeros(NF, np.int32)
+            f_u = np.zeros(NF, np.float32)
+            f_cam = np.zeros(NF, np.int32)
+            f_act = np.zeros(NF, np.float32)
+            if frame_of:
+                keys = sorted(frame_of.items(), key=lambda kv: kv[1])
+                ts = np.asarray([k[0][0] for k in keys])
+                ss, uu = self._seg(ts)
+                nf = len(keys)
+                f_s[:nf], f_u[:nf] = ss, uu
+                f_cam[:nf] = [k[0][1] for k in keys]
+                f_act[:nf] = 1.0
+            frames = FrameTable(
+                s=jnp.asarray(f_s), u=jnp.asarray(f_u, dtype),
+                cam=jnp.asarray(f_cam), active=jnp.asarray(f_act, dtype))
+        else:
+            bearing = bearing.replace(frame=None)
+            pixel = pixel.replace(frame=None)
 
         cap = w.max_inertial
         s = np.zeros(cap, np.int32)
@@ -767,9 +846,27 @@ class SlidingWindowEstimator:
                 x0_gravity=jnp.asarray(hp.x0_gravity, dtype),
                 active=jnp.asarray(1.0 if hp.active else 0.0, dtype))
 
+        calib_prior = None
+        if attach_calib_prior and (w.calibrate_cam_extrinsics
+                                   or w.calibrate_imu_extrinsics):
+            C = int(self.cams.T_bs.shape[0])
+            cam_act = np.zeros(C, np.float32)
+            if w.calibrate_cam_extrinsics:
+                cam_act[1:] = 1.0  # cam0 is the body-frame gauge (frozen)
+            calib_prior = CalibPrior(
+                cam_T_bs0=jnp.asarray(self._calib_anchor["cam_T_bs"], dtype),
+                cam_active=jnp.asarray(cam_act, dtype),
+                imu_T_bs0=jnp.asarray(self._calib_anchor["imu_T_bs"], dtype),
+                imu_active=jnp.asarray(
+                    1.0 if w.calibrate_imu_extrinsics else 0.0, dtype),
+                sqrt_rot=jnp.asarray(1.0 / w.calib_prior_sigma_rot, dtype),
+                sqrt_trans=jnp.asarray(1.0 / w.calib_prior_sigma_trans,
+                                       dtype))
+
         return Factors(bearing=bearing, pixel=pixel, inertial=inertial,
                        prior=prior, preint=preint, marg=marg_f,
-                       smooth=smooth)
+                       smooth=smooth, frames=frames,
+                       calib_prior=calib_prior)
 
     def _build_masks(self, for_marginalization: bool = False) -> Masks:
         w = self.w
@@ -777,13 +874,18 @@ class SlidingWindowEstimator:
         knots = np.zeros(K, np.float32)
         knots[:self.num_knots] = 1.0
         # Freeze knots below the window lower bound (reference
-        # ceres/optimizer.cpp:322-328).  With marginalization, an old knot is
-        # left free only when the marginal prior actually carries information
-        # on it (per-knot block norm); knots the prior does not anchor stay
-        # frozen — otherwise the gauge flip-flops between anchored and free
-        # across slides as the prior's content changes.  When linearizing FOR
-        # marginalization nothing is frozen (the departing knot's columns are
-        # exactly what gets eliminated).
+        # ceres/optimizer.cpp:322-328) — ALSO when marginalizing.  The
+        # marginal prior retains the evicted factors' cross-information on
+        # the remaining FREE state; it does not replace the freeze.  Leaving
+        # old knots free "because the prior anchors them" was measured 3.5x
+        # WORSE than freeze-only (diag r3): the prior is built from the
+        # dying factor subset only, a strictly weaker anchor than
+        # conditioning on the just-optimized values, so freed old knots
+        # drift before being archived.  Freeze + prior is consistent
+        # (conditioning) and measured strictly better than freeze + drop
+        # (the reference's behavior).  When linearizing FOR marginalization
+        # nothing is frozen (the departing knot's columns are exactly what
+        # gets eliminated).
         n_window = int(np.ceil(w.max_window / w.knot_separation)) + w.order
         first_free = max(0, self.num_knots - n_window)
         # Gauge anchor: knot slot 0 is always frozen (unless the marginal
@@ -795,11 +897,7 @@ class SlidingWindowEstimator:
         # divergence on the prior-less CLI run).
         n_frozen = max(first_free, min(1, self.num_knots))
         if not for_marginalization and n_frozen > 0:
-            frozen = np.ones(n_frozen, bool)
-            if self._marg_prior is not None and self._marg_prior.active:
-                norms = marg.knot_info_norms(self._marg_prior.H, K)
-                frozen &= norms[:n_frozen] <= marg.ACTIVE_TOL
-            knots[:n_frozen][frozen] = 0.0
+            knots[:n_frozen] = 0.0
         has_imu = bool(self._inertial) or bool(self._preint_meas)
         C = int(self.cams.T_bs.shape[0])
 
@@ -841,21 +939,55 @@ class SlidingWindowEstimator:
             bias_a=jnp.asarray(self.bias_a, dtype),
         )
 
-    def optimize(self):
+    def optimize(self, async_dispatch: bool = False):
         """One windowed solve (reference Optimizer<CERES>::optimize) —
-        a single jitted device call."""
+        a single jitted device call.
+
+        With ``async_dispatch`` the call returns right after dispatch; the
+        host keeps its (stale) state for staging/triangulation and the
+        solved state is merged in at the next sync point
+        (:meth:`_sync_pending`) — the reference's frontend/backend thread
+        overlap (backend.cpp:124-158) without threads."""
         if not self.bootstrapped:
             return None
+        self._sync_pending()
         factors = self._build_factors()
         masks = self._build_masks()
-        params, cams, imu, stats = ba.optimize(
+        out = ba.optimize(
             self._params(), self.cams, self.imu, factors, masks, self.solver,
             jnp.asarray(self.w.knot_separation, self.dtype),
             jnp.asarray(self.w.bias_separation, self.dtype))
-        # pull the refined state back to host numpy
-        self.knots = np.array(params.knots, np.float64)
-        self.landmarks = np.array(params.landmarks, np.float64)
-        self.gravity = np.array(params.gravity, np.float64)
+        self._solve_count += 1
+        if async_dispatch:
+            self._pending = (out, self.num_knots, self._lm_active.copy(),
+                             self._gravity_seeded)
+            return None
+        return self._pull(out, self.num_knots, self._lm_active,
+                          self._gravity_seeded)
+
+    def _sync_pending(self):
+        """Materialize an async solve's results into the host state."""
+        if self._pending is None:
+            return
+        out, n_disp, lm_disp, grav_seeded = self._pending
+        self._pending = None
+        self._last_stats = self._pull(out, n_disp, lm_disp, grav_seeded)
+
+    def _pull(self, out, n_disp, lm_active_disp, grav_seeded_disp):
+        """Merge device solve results into the host state.  Rows created
+        after dispatch (extended knots, newly triangulated landmarks) keep
+        their host-side initial values; extended knots are re-extrapolated
+        from the solved last dispatched knot."""
+        params, cams, imu, stats = out
+        knots = np.array(params.knots, np.float64)   # blocks on the device
+        self.knots[:n_disp] = knots[:n_disp]
+        if self.num_knots > n_disp:
+            self.knots[n_disp:self.num_knots] = self.knots[n_disp - 1]
+        lm = np.array(params.landmarks, np.float64)
+        sel = np.asarray(lm_active_disp) > 0
+        self.landmarks[sel] = lm[sel]
+        if grav_seeded_disp == self._gravity_seeded:
+            self.gravity = np.array(params.gravity, np.float64)
         self.bias_g = np.array(params.bias_g, np.float64)
         self.bias_a = np.array(params.bias_a, np.float64)
         # refined calibration (identical to the inputs unless a calibrate_*
@@ -871,7 +1003,6 @@ class SlidingWindowEstimator:
             }
         if w.calibrate_imu_extrinsics:
             self.imu = imu
-        self._solve_count += 1
         self._last_stats = stats
         return stats
 
@@ -886,6 +1017,7 @@ class SlidingWindowEstimator:
         reference's SIGUSR1 export (``main.cpp:69-84``, 100 Hz)."""
         if not self.bootstrapped:
             return np.zeros(0), np.zeros((0, 7))
+        self._sync_pending()
         dt = self.w.knot_separation
         if self._knot_archive:
             t0 = self._knot_archive[0][0]

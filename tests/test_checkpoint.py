@@ -104,12 +104,18 @@ def test_checkpoint_full_state_roundtrip(tmp_path):
                 stamp, gyro, accel = payload
                 est.add_imu(stamp, gyro, accel)
 
+    # cut mid-preintegration-interval: just before a frame event, so the
+    # running preintegrator holds accumulated samples
     half = len(events) * 2 // 3
+    while events[half][2][0] != "frame":
+        half += 1
     est_a = make()
     feed(est_a, events[:half])
     # the interesting state must actually exist at checkpoint time
     assert est_a._marg_prior is not None and est_a._marg_prior.active
-    assert est_a._pre is not None and est_a._pre.n > 0
+    assert est_a._pre is not None
+    assert est_a._pre.n > 0 or est_a._pre._prev is not None
+    assert len(est_a._preint_meas) > 0
 
     ckpt = str(tmp_path / "full.npz")
     save_checkpoint(est_a, ckpt)
@@ -117,6 +123,7 @@ def test_checkpoint_full_state_roundtrip(tmp_path):
     load_checkpoint(est_b, ckpt)
     np.testing.assert_array_equal(est_a._marg_prior.H, est_b._marg_prior.H)
     np.testing.assert_array_equal(est_a._pre.cov, est_b._pre.cov)
+    assert (est_a._pre._prev is None) == (est_b._pre._prev is None)
     np.testing.assert_array_equal(est_a.cams_np["T_bs"],
                                   est_b.cams_np["T_bs"])
     assert len(est_a._preint_meas) == len(est_b._preint_meas)

@@ -37,7 +37,8 @@ def _half_res_calib(dtype=jnp.float64):
                        distortion=dist)
 
 
-def _settings_yaml(path, calib, W, H, rate):
+def _settings_yaml(path, calib, W, H, rate, imu=False, imu_rate=50.0,
+                   marginalization=False):
     import yaml
     T = np.asarray(calib.T_bs, np.float64)
     intr = np.asarray(calib.intrinsics, np.float64)
@@ -57,19 +58,33 @@ def _settings_yaml(path, calib, W, H, rate):
             "distortion": {"type": "radial_tangential",
                            "parameters": [float(x) for x in dist[c]]},
         })
+    frontends = [{
+        "type": "VISUAL", "name": "Frontend-0", "backend": "Backend-0",
+        "max_num_tracks": 120, "min_track_separation": 16,
+        "patch_size": 13, "num_pyramid_levels": 3,
+        "max_track_error": 1.0,
+    }]
+    if imu:
+        sensors.append({
+            "type": "IMU", "name": "imu0", "module": "Module-0",
+            "frontend": "Frontend-1", "topic": "/imu0", "rate": imu_rate,
+            "transformation": [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0],
+            # ideal rendered IMU: tiny noise densities keep whitening sane
+            "gyroscope_noise_density": 1.0e-4,
+            "accelerometer_noise_density": 1.0e-3,
+        })
+        frontends.append({
+            "type": "INERTIAL", "name": "Frontend-1",
+            "backend": "Backend-0", "representation": "direct",
+        })
     doc = {"Node": "HyperSLAM", "System": {
         "name": "System-0", "modules": [{"name": "Module-0", "threads": 1}],
         "sensors": sensors,
-        "frontends": [{
-            "type": "VISUAL", "name": "Frontend-0", "backend": "Backend-0",
-            "max_num_tracks": 120, "min_track_separation": 16,
-            "patch_size": 13, "num_pyramid_levels": 3,
-            "max_track_error": 1.0,
-        }],
+        "frontends": frontends,
         "backends": [{
             "name": "Backend-0", "suite": "tpu", "manifold": "se3",
             "representation": "continuous", "separation": 0.25,
-            "max_window": 2.0,
+            "max_window": 2.0, "marginalization": marginalization,
         }],
     }}
     with open(path, "w") as f:
@@ -125,5 +140,43 @@ def test_rendered_png_to_ate(tmp_path):
                       align=True)
     # Real-tracking noise at half resolution: gate generously but
     # meaningfully (divergence is metres; healthy runs are centimetres).
+    assert ape["trans_rmse"] < 0.15, ape
+    assert ape["rot_rmse_deg"] < 3.0, ape
+
+
+@pytest.mark.slow
+def test_rendered_stereo_inertial_marg_to_ate(tmp_path):
+    """The FLAGSHIP config through real image bytes: PNG decode -> KLT ->
+    direct IMU + bias splines -> fixed-lag marginalization -> TUM -> APE.
+
+    This is the reference's actual product (stereo_inertial settings.yaml +
+    the RA-L paper); its released code could not even run it (bias-spline
+    management was CHECK(false), ceres/optimizer.cpp:384-386)."""
+    from hyperslam_tpu.system import cli
+    from hyperslam_tpu.evaluation import metrics
+
+    calib = _half_res_calib()
+    W, H = 376, 240
+    cfg = render.RenderConfig(duration=5.0, cam_rate=5.0, imu_rate=50.0,
+                              image_size=(W, H), seed=4,
+                              rot_scale=0.03, trans_scale=0.10)
+    seq = render.render_sequence(cfg, calib)
+    assert len(seq.imu) > 200
+    offset = 1.4e9
+    ds = str(tmp_path / "ds")
+    render.write_euroc_dataset(ds, seq, stamp_offset=offset)
+    settings = str(tmp_path / "settings.yaml")
+    _settings_yaml(settings, calib, W, H, cfg.cam_rate, imu=True,
+                   imu_rate=cfg.imu_rate, marginalization=True)
+    out = str(tmp_path / "out")
+
+    rc = cli.main([settings, out, "--dataset", ds, "--cpu"])
+    assert rc == 0
+    stamps, pos, quat = metrics.load_tum(os.path.join(
+        out, "estimation_tum.txt"))
+    assert len(stamps) > 50
+    gt = np.asarray(seq.gt_pose(stamps - offset))
+    ape = metrics.ape(stamps, pos, quat, stamps, gt[:, 4:], gt[:, :4],
+                      align=True)
     assert ape["trans_rmse"] < 0.15, ape
     assert ape["rot_rmse_deg"] < 3.0, ape

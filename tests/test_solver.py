@@ -206,3 +206,63 @@ def test_optimize_jits_once(key):
     ba.optimize(gt.replace(knots=gt.knots * 1.0), calib, imu, factors, masks,
                 cfg, dt, bdt)
     assert ba.optimize._cache_size() == n0
+
+
+def test_frame_shared_bearing_parity(key):
+    """The frame-shared fast path (FrameTable + chart chain rule) must
+    reproduce the per-factor linearization to roundoff: same rows, same
+    Jacobians, same cost."""
+    import __graft_entry__ as ge
+    from hyperslam_tpu.solver.problem import ImuCalib as IC
+
+    params, cams, imu, factors, masks = ge._build_problem(
+        K=12, L=32, FB=256, FI=1, FP=2, Kb=5, NF=24, dtype=jnp.float64,
+        seed=5)
+    cfg = SolverConfig(max_iterations=2, bearing_sqrt_info=100.0)
+    dt = jnp.asarray(0.1, jnp.float64)
+    legacy = factors.replace(
+        frames=None, bearing=factors.bearing.replace(frame=None))
+
+    s_fast = ba.linearize(params, cams, imu, factors, masks, cfg, dt, dt)
+    s_leg = ba.linearize(params, cams, imu, legacy, masks, cfg, dt, dt)
+    np.testing.assert_allclose(np.asarray(s_fast.r), np.asarray(s_leg.r),
+                               atol=1e-11)
+    np.testing.assert_allclose(np.asarray(s_fast.J), np.asarray(s_leg.J),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(s_fast.J_lm),
+                               np.asarray(s_leg.J_lm), atol=1e-10)
+
+    c_fast = ba.compute_cost(params, cams, imu, factors, cfg, dt, dt)
+    c_leg = ba.compute_cost(params, cams, imu, legacy, cfg, dt, dt)
+    np.testing.assert_allclose(float(c_fast), float(c_leg), rtol=1e-12)
+
+    # with freed cam extrinsics (self-calibration columns)
+    masks2 = masks.replace(cam_ext=jnp.asarray([0.0, 1.0]))
+    s_fast2 = ba.linearize(params, cams, imu, factors, masks2, cfg, dt, dt)
+    s_leg2 = ba.linearize(params, cams, imu, legacy, masks2, cfg, dt, dt)
+    np.testing.assert_allclose(np.asarray(s_fast2.J), np.asarray(s_leg2.J),
+                               atol=1e-9)
+
+
+def test_linearize_reduce_matches_row_reduction(key):
+    """The fused per-family reduction (ba.linearize_reduce) must equal
+    reduce_system(linearize(...)) — same H, g, Hll, gl, W."""
+    import __graft_entry__ as ge
+
+    params, cams, imu, factors, masks = ge._build_problem(
+        K=12, L=32, FB=256, FI=64, FP=4, Kb=5, NF=24, dtype=jnp.float64,
+        seed=2)
+    # exercise masks: freeze two knots and one landmark
+    masks = masks.replace(knots=masks.knots.at[:2].set(0.0),
+                          landmarks=masks.landmarks.at[5].set(0.0))
+    cfg = SolverConfig(max_iterations=2, bearing_sqrt_info=100.0)
+    dt = jnp.asarray(0.1, jnp.float64)
+
+    sys0 = ba.linearize(params, cams, imu, factors, masks, cfg, dt, dt)
+    ref = ba.reduce_system(sys0, params.num_landmarks)
+    fused = ba.linearize_reduce(params, cams, imu, factors, masks, cfg,
+                                dt, dt)
+    for name, a, b in zip("H g Hll gl W".split(), ref, fused):
+        scale = max(float(jnp.abs(a).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-12 * scale, err_msg=name)

@@ -26,7 +26,11 @@ def main():
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--no-imu", action="store_true")
     ap.add_argument("--size", type=int, nargs=2, default=(752, 480))
+    ap.add_argument("--sync", action="store_true",
+                    help="disable the async solve pipeline (overlap off)")
     args = ap.parse_args()
+    if args.frames <= 4:
+        ap.error("--frames must be > 4 (first 3 frames are warmup)")
 
     import jax
     if args.cpu:
@@ -65,6 +69,7 @@ def main():
                           inertial_scale=1.0)
     est = SlidingWindowEstimator(window, jax.tree.map(
         lambda x: jnp.asarray(x, jnp.float32), calib), solver=solver)
+    est.async_solves = not args.sync
     klt = StereoKLT(KLTConfig(max_tracks=150, win=13, levels=3))
 
     events = [("stereo", t, a, b) for (t, a, b) in seq.frames]

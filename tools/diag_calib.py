@@ -5,8 +5,8 @@
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 import numpy as np

@@ -13,6 +13,7 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
@@ -79,6 +80,7 @@ def run(enable, **dbg):
 
 import sys as _sys
 variants = [
+    ("marg-keep-freeze", dict(enable=True, _dbg_marg_freeze=True)),
     ("marg-full", dict(enable=True)),
     ("marg-no-smooth", dict(enable=True, _dbg_fold_smooth=False)),
     ("marg-no-prior", dict(enable=True, _dbg_fold_prior=False)),
