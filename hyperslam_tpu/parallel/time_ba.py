@@ -173,6 +173,11 @@ def time_partitioned_optimize(params: Params, cams: CameraCalib,
     Kb = params.num_bias_knots
     n_dev = mesh.shape[AXIS]
     Ks = K // n_dev
+    # Forward-mode factor Jacobians inside the shard: XLA:CPU (jax 0.9.0)
+    # miscompiles jacrev of the spline chain when the local knots come from
+    # a concatenate inside a shard_map body (wrong J, correct primal —
+    # see SolverConfig.use_jacfwd and the repro notes there).
+    cfg = cfg.replace(use_jacfwd=True)
     if halo is None:
         halo = order - 1
     assert Ks >= halo, (

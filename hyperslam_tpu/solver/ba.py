@@ -79,13 +79,23 @@ def _col_mask(masks: Masks, lay: Layout, dtype):
     # reference's per-sensor-parameter constancy flags
     # (ceres/optimizer.cpp:56-69, manifolds/sensors/*).
     if lay.cext >= 0:
-        parts.append(jnp.repeat(masks.cam_ext.astype(dtype), 6))
+        erot = 1.0 if masks.cam_ext_rot is None else masks.cam_ext_rot
+        etrans = 1.0 if masks.cam_ext_trans is None else masks.cam_ext_trans
+        epart = jnp.concatenate([jnp.full((3,), erot, dtype),
+                                 jnp.full((3,), etrans, dtype)])
+        parts.append(
+            (masks.cam_ext.astype(dtype)[:, None] * epart[None, :])
+            .reshape(-1))
     if lay.cintr >= 0:
         parts.append(jnp.repeat(masks.cam_intr.astype(dtype), 4))
     if lay.cdist >= 0:
         parts.append(jnp.repeat(masks.cam_dist.astype(dtype), 4))
     if lay.iext >= 0:
-        parts.append(jnp.full((6,), masks.imu_ext, dtype))
+        erot = 1.0 if masks.cam_ext_rot is None else masks.cam_ext_rot
+        etrans = 1.0 if masks.cam_ext_trans is None else masks.cam_ext_trans
+        ipart = jnp.concatenate([jnp.full((3,), erot, dtype),
+                                 jnp.full((3,), etrans, dtype)])
+        parts.append(masks.imu_ext * ipart)
     return jnp.concatenate(parts)
 
 
@@ -144,7 +154,8 @@ def _linearize_bearing(params: Params, calib: CameraCalib, f,
         zc = jnp.zeros(6, dtype)
         r_raw = g(zk, zl, zc)
         args = (0, 1, 2) if lay.cext >= 0 else (0, 1)
-        Js = jax.jacrev(g, argnums=args)(zk, zl, zc)
+        jac = jax.jacfwd if cfg.use_jacfwd else jax.jacrev
+        Js = jac(g, argnums=args)(zk, zl, zc)
         Jk, Jl = Js[0], Js[1]
         # Robust weight in RAW residual units (the reference's Huber delta is
         # on the metric distance itself, ceres/optimizer.cpp:189-210); the
@@ -309,7 +320,8 @@ def _linearize_pixel(params: Params, calib: CameraCalib, f,
             args.append(3)
         if lay.cdist >= 0:
             args.append(4)
-        Js = jax.jacrev(g, argnums=tuple(args))(zk, zl, zc, z4, z4)
+        jac = jax.jacfwd if cfg.use_jacfwd else jax.jacrev
+        Js = jac(g, argnums=tuple(args))(zk, zl, zc, z4, z4)
         by_arg = dict(zip(args, Js))
         Jk, Jl = by_arg[0], by_arg[1]
         w = losses.huber_weight(jnp.sum(r_raw * r_raw), cfg.pixel_huber)
@@ -398,7 +410,8 @@ def _linearize_inertial(params: Params, imu: ImuCalib, f, cfg: SolverConfig,
         ze = jnp.zeros(6, dtype)
         r = g(zk, zb, zb, zg, ze)
         args = (0, 1, 2, 3, 4) if lay.iext >= 0 else (0, 1, 2, 3)
-        Js = jax.jacrev(g, argnums=args)(zk, zb, zb, zg, ze)
+        jac = jax.jacfwd if cfg.use_jacfwd else jax.jacrev
+        Js = jac(g, argnums=args)(zk, zb, zb, zg, ze)
         Jk, Jbg, Jba, Jg = Js[0], Js[1], Js[2], Js[3]
         # Reference: ScaledLoss(1.6e-5) on inertial residuals.
         sw = sq_scale * active

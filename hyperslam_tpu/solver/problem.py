@@ -351,6 +351,15 @@ class Masks:
     cam_intr: Any = None    # (C,) camera intrinsics free?
     cam_dist: Any = None    # (C,) camera distortion free?
     imu_ext: Any = None     # () IMU extrinsics free?
+    # Per-part extrinsics constancy (() scalar {0,1}, on top of cam_ext /
+    # imu_ext; None = free).  Used by the estimator's staged calibration
+    # release: extrinsic ROTATION is strongly observable while extrinsic
+    # TRANSLATION contains the near-degenerate baseline-scale direction —
+    # freeing rotation first prevents the joint first step from dumping the
+    # rotation misfit into a baseline-scale plunge (see
+    # WindowConfig.calib_warmup).
+    cam_ext_rot: Any = None
+    cam_ext_trans: Any = None
     # Per-part knot constancy (the reference's SE3 product-manifold
     # rotation/translation constancy flags, backend.cpp:52-55 +
     # ceres/manifolds/variables/se3.cpp:19-24): () scalar {0,1} applied to
@@ -396,6 +405,16 @@ class SolverConfig(struct.PyTreeNode):
     bearing_huber: float = struct.field(pytree_node=False, default=1.6e-3)
     pixel_huber: float = struct.field(pytree_node=False, default=0.5)
     inertial_scale: float = struct.field(pytree_node=False, default=1.6e-5)
+    # Factor-Jacobian autodiff mode.  Default: reverse mode (jacrev) — the
+    # bearing/pixel/inertial residuals have 2-6 outputs vs 24-50 inputs, so
+    # pullbacks are cheaper than pushforwards (measured, PROFILE.md).
+    # ``use_jacfwd=True`` switches to forward mode: required inside the
+    # time-sharded solver (parallel/time_ba.py), where XLA:CPU (jax 0.9.0)
+    # MISCOMPILES jacrev of the spline chain when the knots were assembled
+    # by concatenate inside a shard_map body (wrong Jacobian, correct
+    # primal; minimal repro in tools/diag_time_ba.py history — neither
+    # stop_gradient nor optimization_barrier suppresses it, jacfwd does).
+    use_jacfwd: bool = struct.field(pytree_node=False, default=False)
     # LM damping
     init_lambda: float = struct.field(pytree_node=False, default=1e-4)
     lambda_up: float = struct.field(pytree_node=False, default=10.0)

@@ -54,11 +54,17 @@ def main(argv=None):
     # f64 (solver/ba.py _solve_dtype); the working dtype stays f32 unless
     # --f64 is given.
     jax.config.update("jax_enable_x64", True)
-    # persistent compile cache (compiles dominate on cold starts)
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
+    # Persistent compile cache (compiles dominate on cold starts).
+    # Platform-suffixed: the axon/TPU plugin compiles on a REMOTE machine
+    # and may write XLA:CPU AOT artifacts for a different CPU into the
+    # cache; loading those on this host risks SIGILL / wrong code
+    # (cpu_aot_loader machine-feature mismatch warnings).  Keeping one
+    # cache per platform makes cross-pollution impossible.
+    repo = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    suffix = "" if args.cpu else "_tpu"
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(repo, ".jax_cache" + suffix))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from .config import load_system_spec

@@ -92,6 +92,21 @@ class WindowConfig:
     # initial (factory/Kalibr) calibration is trusted.
     calib_prior_sigma_rot: float = 0.01    # rad (~0.6 deg)
     calib_prior_sigma_trans: float = 0.006  # m
+    # Staged calibration release.  In a short/young window a cam1 extrinsic
+    # ROTATION error is indistinguishable from a baseline SCALE error
+    # (delta_theta ~ (b/z) * delta_b/b: a 0.3 deg rotation mimics a ~38%
+    # baseline change at z=8 m): the joint first step dumps the rotation
+    # misfit into a 20+ mm baseline plunge, landmarks re-conform within the
+    # same solve, and the solver is left in a self-consistent wrong-scale
+    # valley it exits only at ~0.05 mm/solve (measured,
+    # tools/diag_calib_e2e.py; the data DOES pin the baseline to <0.3 mm
+    # when it never leaves the true basin — measured noperturb run).
+    # Release order: (1) everything frozen until the window is temporally
+    # full; (2) rotation parts freed (strongly observable, converges in
+    # 1-2 solves); (3) translation parts freed ``calib_trans_delay`` solves
+    # later, once no rotation misfit remains to mis-split.
+    calib_warmup: bool = True
+    calib_trans_delay: int = 3
     # Per-part knot constancy from the backend YAML (reference
     # rotation_constant / translation_constant, backend.cpp:52-55 +
     # ceres/manifolds/variables/se3.cpp:19-24).  The reference's
@@ -197,6 +212,9 @@ class SlidingWindowEstimator:
         # archive of (stamp, knot value) for frozen/expired spline segments
         self._knot_archive: List[tuple] = []
         self._solve_count = 0
+        # staged calibration release (see _build_masks): solve count at
+        # which the rotation parts were first freed, None until then
+        self._calib_rot_freed_at = None
         self._last_stats = None
         # Asynchronous solve pipeline (the reference's frontend-thread /
         # backend-thread overlap, backend.cpp:124-158): when enabled, the
@@ -253,6 +271,13 @@ class SlidingWindowEstimator:
         hi = self.t0 + (self.num_knots - self.w.order + 1) \
             * self.w.knot_separation
         return lo, hi
+
+    def _window_full(self) -> bool:
+        """True once the live spline spans the configured window length —
+        the calibration warm-up criterion (enough parallax/geometry that
+        extrinsic rotation and baseline scale are separable)."""
+        span = (self.num_knots - self.w.order + 1) * self.w.knot_separation
+        return span >= self.w.max_window - 1e-9
 
     def _extend_to(self, t: float):
         """Advance the window so t is inside the valid range: optimize the
@@ -900,11 +925,25 @@ class SlidingWindowEstimator:
             knots[:n_frozen] = 0.0
         has_imu = bool(self._inertial) or bool(self._preint_meas)
         C = int(self.cams.T_bs.shape[0])
+        # Staged calibration release (see WindowConfig.calib_warmup): masks
+        # stay ARRAYS (static layout, no recompile) but are zeroed until the
+        # window is temporally full; extrinsic translation columns unfreeze
+        # ``calib_trans_delay`` solves after rotation.
+        if not w.calib_warmup:
+            calib_on, trans_on = 1.0, 1.0
+        elif self._window_full():
+            if self._calib_rot_freed_at is None:
+                self._calib_rot_freed_at = self._solve_count
+            calib_on = 1.0
+            trans_on = 1.0 if (self._solve_count - self._calib_rot_freed_at
+                               >= w.calib_trans_delay) else 0.0
+        else:
+            calib_on, trans_on = 0.0, 0.0
 
         def cmask(flag, free_first=True):
             if not flag:
                 return None
-            m = np.ones(C, np.float32)
+            m = np.full(C, calib_on, np.float32)
             if not free_first:
                 # freeze camera 0 to pin the body frame (gauge)
                 m[0] = 0.0
@@ -921,8 +960,11 @@ class SlidingWindowEstimator:
             cam_ext=cmask(w.calibrate_cam_extrinsics, free_first=False),
             cam_intr=cmask(w.calibrate_cam_intrinsics),
             cam_dist=cmask(w.calibrate_cam_distortion),
-            imu_ext=(jnp.asarray(1.0, np.float32)
+            imu_ext=(jnp.asarray(calib_on, np.float32)
                      if w.calibrate_imu_extrinsics else None),
+            cam_ext_trans=(jnp.asarray(trans_on, np.float32)
+                           if (w.calibrate_cam_extrinsics
+                               or w.calibrate_imu_extrinsics) else None),
             knots_rot=(jnp.asarray(0.0, np.float32)
                        if w.knot_rotation_constant else None),
             knots_trans=(jnp.asarray(0.0, np.float32)

@@ -105,11 +105,17 @@ def test_config_knot_constancy_flows_to_masks(tmp_path):
     assert masks.knots_trans is None
 
 
-@pytest.mark.slow
-def test_self_calibration_cam1_extrinsics():
-    """Free cam1 extrinsics from a perturbed initial value and converge back
-    toward truth while tracking (reference self-calibration mode:
-    ceres/optimizer.cpp:56-69 with the constancy flags off)."""
+def _run_self_calib_scenario(perturb: bool):
+    """Shared harness for the online self-calibration scenarios.
+
+    Returns (rot_err [rad], trans_err [m], est, T_true) after feeding a 4 s
+    synthetic stereo sequence with GT pose priors over the first 0.35 s.
+    The priors are mocap-grade (they ARE the generating trajectory), so
+    they carry their honest weight (sigma 2 mm -> prior_sqrt_info 500):
+    that pins the trajectory scale, which is what makes the stereo-baseline
+    scale direction observable at all — with the default unit weight the
+    priors carry no information and baseline scale is gauge (measured,
+    tools/diag_calib_e2e.py)."""
     from hyperslam_tpu.frontend import synthetic
     from hyperslam_tpu.window.estimator import (SlidingWindowEstimator,
                                                 WindowConfig)
@@ -119,19 +125,23 @@ def test_self_calibration_cam1_extrinsics():
         pixel_noise=0.2, seed=7)
     seq = synthetic.generate(cfg)
 
-    # Perturb cam1 extrinsics: ~0.3 deg rotation + 4 mm translation.
     T_true = np.asarray(seq.calib.T_bs, np.float64)
-    d = np.asarray([2e-3, -3e-3, 4e-3, 2e-3, -3e-3, 2e-3])
-    T1_bad = nplie.se3_compose(T_true[1], nplie.se3_exp(d))
-    calib_bad = seq.calib.replace(
-        T_bs=jnp.asarray(np.stack([T_true[0], T1_bad]), jnp.float64))
+    if perturb:
+        # Perturb cam1 extrinsics: ~0.3 deg rotation + 4 mm translation.
+        d = np.asarray([2e-3, -3e-3, 4e-3, 2e-3, -3e-3, 2e-3])
+        T1_init = nplie.se3_compose(T_true[1], nplie.se3_exp(d))
+    else:
+        T1_init = T_true[1]
+    calib0 = seq.calib.replace(
+        T_bs=jnp.asarray(np.stack([T_true[0], T1_init]), jnp.float64))
 
     window = WindowConfig(
         knot_separation=0.25, max_window=2.0, max_knots=24,
         max_landmarks=200, max_bearing=8192, max_inertial=0, max_prior=16,
         dtype=jnp.float64, calibrate_cam_extrinsics=True)
-    solver = SolverConfig(max_iterations=5, bearing_sqrt_info=458 / 0.2)
-    est = SlidingWindowEstimator(window, calib_bad, imu=seq.imu_calib,
+    solver = SolverConfig(max_iterations=5, bearing_sqrt_info=458 / 0.2,
+                          prior_sqrt_info=500.0)
+    est = SlidingWindowEstimator(window, calib0, imu=seq.imu_calib,
                                  solver=solver)
     t_first = seq.frames[0][0]
     for stamp, cam_idx, tids, px in seq.frames:
@@ -141,15 +151,38 @@ def test_self_calibration_cam1_extrinsics():
     est.optimize()
 
     T1_est = est.cams_np["T_bs"][1]
+    dT = nplie.se3_compose(nplie.se3_inverse(T_true[1]), T1_est)
+    return (np.linalg.norm(nplie.so3_log(dT[:4])),
+            np.linalg.norm(dT[4:]), est, T_true, T1_init)
 
-    def err(T):
-        dT = nplie.se3_compose(nplie.se3_inverse(T_true[1]), T)
-        return (np.linalg.norm(nplie.so3_log(dT[:4])),
-                np.linalg.norm(dT[4:]))
-    rot0, tr0 = err(T1_bad)
-    rot1, tr1 = err(T1_est)
+
+@pytest.mark.slow
+def test_self_calibration_cam1_extrinsics():
+    """Free cam1 extrinsics from a perturbed initial value and converge back
+    toward truth while tracking (reference self-calibration mode:
+    ceres/optimizer.cpp:56-69 with the constancy flags off).  Exercises the
+    staged rotation-then-translation calibration release
+    (WindowConfig.calib_warmup/calib_trans_delay)."""
+    rot1, tr1, est, T_true, T1_bad = _run_self_calib_scenario(perturb=True)
+    dT0 = nplie.se3_compose(nplie.se3_inverse(T_true[1]), T1_bad)
+    rot0 = np.linalg.norm(nplie.so3_log(dT0[:4]))
+    tr0 = np.linalg.norm(dT0[4:])
     # Perturbation reduced by at least 3x in both parts.
     assert rot1 < rot0 / 3.0, (rot0, rot1)
     assert tr1 < tr0 / 3.0, (tr0, tr1)
     # cam0 stayed pinned (gauge)
+    np.testing.assert_allclose(est.cams_np["T_bs"][0], T_true[0], atol=1e-12)
+
+
+@pytest.mark.slow
+def test_self_calibration_no_collapse():
+    """Freed extrinsics starting at TRUTH must stay there: the baseline
+    scale direction is the near-degenerate one — without the staged release
+    + anchor it collapsed 20-50% (measured; VERDICT r3 'weak' item 2).
+    Pass = the true calibration is a stable point of the full pipeline."""
+    rot1, tr1, est, T_true, _ = _run_self_calib_scenario(perturb=False)
+    assert rot1 < np.radians(0.02), rot1
+    # collapse regime (pre-fix) was 18-60 mm; residual noise-level drift of
+    # the freed baseline sits at ~1.7 mm on this sequence
+    assert tr1 < 3e-3, tr1
     np.testing.assert_allclose(est.cams_np["T_bs"][0], T_true[0], atol=1e-12)
