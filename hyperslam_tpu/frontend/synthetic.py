@@ -119,9 +119,63 @@ class SyntheticSequence:
         return nplie.eval_se3(self.gt_knots, t, self.gt_t0, self.gt_dt)
 
 
+@jax.jit
+def _gen_landmarks(knots, t_seed, offsets, kdt):
+    """Landmarks anchored along the trajectory."""
+    anchors = bspline.eval_se3(knots, t_seed, 0.0, kdt)
+    return se3.act(anchors, offsets)
+
+
+@jax.jit
+def _gen_frames_block(knots, lms, stamps, T_bs, intr, dist, kdt):
+    """(uv, depth) for one block of frame stamps x cameras x landmarks."""
+    T_wb = bspline.eval_se3(knots, stamps, 0.0, kdt)        # (T, 7)
+    T_ws = se3.compose(T_wb[:, None, :], T_bs[None, :, :])  # (T, C, 7)
+    p_s = se3.act(se3.inverse(T_ws)[:, :, None, :],
+                  lms[None, None, :, :])                    # (T, C, L, 3)
+    uv = cam_model.project(p_s, intr[None, :, None, :],
+                           dist[None, :, None, :])          # (T, C, L, 2)
+    return uv, p_s[..., 2]
+
+
+@jax.jit
+def _gen_imu_block(knots, imu_t, kdt):
+    """Ideal (gyro, accel) from spline derivatives for one stamp block."""
+    s, u = bspline.support_index(imu_t, 0.0, kdt, knots.shape[0])
+    ctrl = bspline.gather_support(knots, s)
+    d = bspline.se3_with_derivatives(ctrl, u, kdt)
+    gvec = jnp.asarray([0.0, 0.0, -s2.GRAVITY_NORM], knots.dtype)
+    accel_ideal = so3.rotate(so3.conj(d["pose"][:, :4]), d["a_w"] - gvec)
+    return d["omega_b"], accel_ideal
+
+
+def _chunked(fn, stamps, chunk, *extra):
+    """Run a block-jitted fn over stamps in fixed-size chunks (pads the
+    last block so every call shares one compiled shape) and concatenate on
+    the host.  Long sequences (minutes) would otherwise allocate
+    T x C x L-sized device arrays in the tens of GB."""
+    outs = None
+    n = len(stamps)
+    for i in range(0, n, chunk):
+        block = stamps[i:i + chunk]
+        pad = chunk - len(block)
+        if pad:
+            block = np.concatenate([block, np.full(pad, block[-1])])
+        res = fn(jnp.asarray(block), *extra)
+        res = [np.asarray(r)[:chunk - pad if pad else chunk] for r in res]
+        if outs is None:
+            outs = [[r] for r in res]
+        else:
+            for acc, r in zip(outs, res):
+                acc.append(r)
+    return [np.concatenate(acc, 0) for acc in outs]
+
+
 def generate(cfg: SyntheticConfig, calib: Optional[CameraCalib] = None,
              gt_knots: Optional[jnp.ndarray] = None,
-             gt_dt: Optional[float] = None) -> SyntheticSequence:
+             gt_dt: Optional[float] = None,
+             frame_chunk: int = 256,
+             imu_chunk: int = 8192) -> SyntheticSequence:
     rng = np.random.default_rng(cfg.seed)
     key = jax.random.PRNGKey(cfg.seed)
     dtype = jnp.float64
@@ -146,34 +200,22 @@ def generate(cfg: SyntheticConfig, calib: Optional[CameraCalib] = None,
     offsets = rng.normal(0.0, 1.0, (cfg.num_landmarks, 3)) * np.array(
         [4.0, 4.0, 4.0]) + np.array([0.0, 0.0, 8.0])
 
-    # ALL device math in one jitted call — eager per-op dispatch/compile is
-    # prohibitively slow on this host (see memory: tpu-slam-env-gotchas).
-    @jax.jit
-    def device_side(knots, t_seed, offsets, stamps, imu_t, T_bs, intr, dist):
-        # landmarks anchored along the trajectory
-        anchors = bspline.eval_se3(knots, t_seed, 0.0, kdt)
-        lms = se3.act(anchors, offsets)
-        # all frames x cameras x landmarks
-        T_wb = bspline.eval_se3(knots, stamps, 0.0, kdt)        # (T, 7)
-        T_ws = se3.compose(T_wb[:, None, :], T_bs[None, :, :])  # (T, C, 7)
-        p_s = se3.act(se3.inverse(T_ws)[:, :, None, :],
-                      lms[None, None, :, :])                    # (T, C, L, 3)
-        uv = cam_model.project(p_s, intr[None, :, None, :],
-                               dist[None, :, None, :])          # (T, C, L, 2)
-        # ideal IMU from spline derivatives
-        s, u = bspline.support_index(imu_t, 0.0, kdt, knots.shape[0])
-        ctrl = bspline.gather_support(knots, s)
-        d = bspline.se3_with_derivatives(ctrl, u, kdt)
-        gvec = jnp.asarray([0.0, 0.0, -s2.GRAVITY_NORM], knots.dtype)
-        accel_ideal = so3.rotate(so3.conj(d["pose"][:, :4]), d["a_w"] - gvec)
-        return lms, uv, p_s[..., 2], d["omega_b"], accel_ideal
-
-    lms_j, uv, z, gyro_ideal, accel_ideal = device_side(
-        gt_knots, jnp.asarray(t_seed, dtype), jnp.asarray(offsets, dtype),
-        jnp.asarray(cam_stamps, dtype), jnp.asarray(imu_stamps, dtype),
-        calib.T_bs, calib.intrinsics, calib.distortion)
+    # Device math in block-jitted calls (module-level: one compile per
+    # shape for the whole process); eager per-op dispatch is prohibitively
+    # slow on this host.
+    kdt_j = jnp.asarray(kdt, dtype)
+    lms_j = _gen_landmarks(gt_knots, jnp.asarray(t_seed, dtype),
+                           jnp.asarray(offsets, dtype), kdt_j)
     landmarks = np.asarray(lms_j)
-    uv, z = np.asarray(uv), np.asarray(z)
+    uv, z = _chunked(
+        lambda st, *a: _gen_frames_block(gt_knots, lms_j, st, calib.T_bs,
+                                         calib.intrinsics, calib.distortion,
+                                         kdt_j),
+        cam_stamps, min(frame_chunk, max(len(cam_stamps), 1)))
+    gyro_ideal, accel_ideal = _chunked(
+        lambda st, *a: _gen_imu_block(gt_knots, st, kdt_j),
+        imu_stamps, min(imu_chunk, max(len(imu_stamps), 1))) \
+        if len(imu_stamps) else (np.zeros((0, 3)), np.zeros((0, 3)))
     vis = ((z > 0.3) & (uv[..., 0] >= 0) & (uv[..., 0] < W)
            & (uv[..., 1] >= 0) & (uv[..., 1] < H))   # (T, C, L)
     stereo_vis = vis.all(axis=1)                     # (T, L)

@@ -39,12 +39,22 @@ def shard_factors(factors: Factors, mesh: Mesh) -> Factors:
     Capacities must be divisible by the mesh size — pad capacities up when
     building the window (they are static anyway).  The frame-shared fast
     path is dropped (frames=None): frame indices do not survive batch
-    sharding, and each chip falls back to the per-factor linearizer."""
+    sharding, and each chip falls back to the per-factor linearizer.
+
+    The marginal prior and the calibration anchor are NOT factor batches
+    (dense D0-row / 6-row blocks); they are placed REPLICATED and the
+    solver applies them outside the sharded reduction
+    (ba.dense_prior_reduce) — the sharded solve optimizes the same problem
+    as the single-device one, self-calibration included."""
+    dense = {"marg": factors.marg, "calib_prior": factors.calib_prior}
     factors = factors.replace(
         frames=None, bearing=factors.bearing.replace(frame=None),
-        pixel=factors.pixel.replace(frame=None), calib_prior=None)
+        pixel=factors.pixel.replace(frame=None), marg=None, calib_prior=None)
     sharding = NamedSharding(mesh, P(AXIS))
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), factors)
+    rep = NamedSharding(mesh, P())
+    out = jax.tree.map(lambda x: jax.device_put(x, sharding), factors)
+    dense = jax.tree.map(lambda x: jax.device_put(x, rep), dense)
+    return out.replace(marg=dense["marg"], calib_prior=dense["calib_prior"])
 
 
 def _replicate(tree, mesh: Mesh):
@@ -63,8 +73,19 @@ def distributed_optimize(params: Params, cams: CameraCalib, imu: ImuCalib,
     damping and acceptance rule); only the reduction is distributed."""
     L = params.num_landmarks
     dtype = params.knots.dtype
+    # Forward-mode factor Jacobians inside the shard: XLA:CPU (jax 0.9.0)
+    # miscompiles reverse-mode autodiff of the spline chain inside
+    # shard_map bodies depending on the surrounding fusion (wrong J,
+    # correct primal — see SolverConfig.use_jacfwd).  Forward mode is
+    # immune; every sharded solver forces it.
+    cfg = cfg.replace(use_jacfwd=True)
 
-    fspec = jax.tree.map(lambda _: P(AXIS), factors)
+    # dense replicated rows (see shard_factors): applied outside the shard
+    marg = factors.marg
+    calib_prior = factors.calib_prior
+    factors_sh = factors.replace(marg=None, calib_prior=None)
+
+    fspec = jax.tree.map(lambda _: P(AXIS), factors_sh)
     rep = P()
 
     @functools.partial(
@@ -83,14 +104,23 @@ def distributed_optimize(params: Params, cams: CameraCalib, imu: ImuCalib,
         return jax.lax.psum(
             ba.compute_cost(p, c, i, f, cfg, dt, bias_dt), AXIS)
 
-    cost0 = cost_shard(params, cams, imu, factors)
+    def cost_of(p, c, i):
+        return cost_shard(p, c, i, factors_sh) \
+            + ba.dense_prior_cost(p, c, i, marg, calib_prior)
+
+    cost0 = cost_of(params, cams, imu)
 
     def body(carry, _):
         p, c, i, lam, cost = carry
-        H, g, Hll, gl, W = reduce_shard(p, c, i, factors, masks)
+        H, g, Hll, gl, W = reduce_shard(p, c, i, factors_sh, masks)
+        if marg is not None or calib_prior is not None:
+            Ha, ga = ba.dense_prior_reduce(p, c, i, marg, calib_prior,
+                                           masks, cfg, H.dtype)
+            H = H + Ha
+            g = g + ga
         dp, dl = ba.solve_reduced(H, g, Hll, gl, W, masks, lam, cfg)
         tp, tc, ti = ba.apply_delta(p, c, i, dp, dl, masks, cfg)
-        trial_cost = cost_shard(tp, tc, ti, factors)
+        trial_cost = cost_of(tp, tc, ti)
         accept = trial_cost < cost
         sel = lambda a, b: jnp.where(accept, a, b)
         p_next = jax.tree.map(sel, tp, p)

@@ -152,7 +152,8 @@ def partition_factors_by_time(factors: Factors, K: int, n_dev: int,
                             rebase_fields=("s_i", "s_j")),
         smooth=split_family(factors.smooth, key_field="i",
                             rebase_fields=("i",)),
-        marg=factors.marg)
+        marg=factors.marg,
+        calib_prior=factors.calib_prior)
 
 
 @functools.partial(jax.jit,
@@ -187,11 +188,13 @@ def time_partitioned_optimize(params: Params, cams: CameraCalib,
     C = cams.T_bs.shape[0]
     D = make_layout(K, Kb, C, masks).D
 
-    # The marginal prior is dense in time: linearize it replicated, outside
-    # the sharded band reduction (its D0 rows are tiny next to the factor
+    # The marginal prior is dense in time and the calibration anchor's
+    # columns are global: both are linearized REPLICATED, outside the
+    # sharded band reduction (their rows are tiny next to the factor
     # batch).  ``factors_sh`` is the sharded remainder.
     marg = factors_td.marg
-    factors_sh = factors_td.replace(marg=None)
+    calib_prior = factors_td.calib_prior
+    factors_sh = factors_td.replace(marg=None, calib_prior=None)
 
     fspec = jax.tree.map(lambda _: P(AXIS), factors_sh)
     rep = P()
@@ -256,22 +259,16 @@ def time_partitioned_optimize(params: Params, cams: CameraCalib,
 
     def cost_of(p, c, i):
         cost = cost_shard(p.knots, p, c, i, factors_sh)
-        if marg is not None:
-            rm = marg.sqrt_H @ ba._marg_local_diff(p, marg) + marg.r0
-            cost = cost + 0.5 * marg.active * jnp.sum(rm * rm)
-        return cost
+        return cost + ba.dense_prior_cost(p, c, i, marg, calib_prior)
 
     def reduce_full(p, c, i):
         H, g, Hll, gl, W = reduce_shard(p.knots, p, c, i, factors_sh,
                                         masks.knots, masks)
-        if marg is not None:
-            lay = ba.problem_layout(p, c, masks)
-            msys = ba._linearize_marg(p, marg, cfg, lay)
-            cm = ba._col_mask(masks, lay, msys.J.dtype)
-            Jm = (msys.J * cm[None, :]).astype(H.dtype)
-            rm = msys.r.astype(H.dtype)
-            H = H + Jm.T @ Jm
-            g = g + Jm.T @ rm
+        if marg is not None or calib_prior is not None:
+            Ha, ga = ba.dense_prior_reduce(p, c, i, marg, calib_prior,
+                                           masks, cfg, H.dtype)
+            H = H + Ha
+            g = g + ga
         return H, g, Hll, gl, W
 
     cost0 = cost_of(params, cams, imu)

@@ -159,8 +159,15 @@ class SlidingWindowEstimator:
                  imu: Optional[ImuCalib] = None,
                  solver: Optional[SolverConfig] = None):
         self.w = window
-        self.cams = cams
-        self.imu = imu if imu is not None else ImuCalib.default(window.dtype)
+        # Calibration is cast to the WORKING dtype: a single f64 leaf (e.g.
+        # f64 calib passed into an f32 window) silently promotes the whole
+        # jitted solve to f64 — emulated and ~12x slower on TPU (measured
+        # 459 -> 38 ms per solve).
+        import jax as _j
+        self.cams = _j.tree.map(
+            lambda x: np.asarray(x, window.dtype), cams)
+        imu = imu if imu is not None else ImuCalib.default(window.dtype)
+        self.imu = _j.tree.map(lambda x: np.asarray(x, window.dtype), imu)
         self.solver = solver or SolverConfig(
             order=window.order, bias_order=window.bias_order)
         self.dtype = window.dtype
@@ -201,6 +208,10 @@ class SlidingWindowEstimator:
         self.tracks: Dict[int, TrackRecord] = {}
         self._free_slots = list(range(L - 1, -1, -1))
         self._lm_active = np.zeros(L, np.float32)
+        # async-overlap bookkeeping: slides and slot reuse between an async
+        # dispatch and its merge are accounted for at merge time (_pull)
+        self._slide_count = 0
+        self._slot_gen = np.zeros(L, np.int64)
 
         # Anchor for freed calibration groups: the construction-time
         # (YAML/factory) calibration, with configured trust sigmas.
@@ -298,9 +309,14 @@ class SlidingWindowEstimator:
                 self.knots[self.num_knots] = self.knots[self.num_knots - 1]
                 self.num_knots += 1
             else:
-                # sliding (and its marginalization) must see the solved
-                # estimate — the async overlap window ends here
-                self._sync_pending()
+                # MARGINALIZING slides must see the solved estimate (the
+                # prior is linearized at it) — the async overlap window
+                # ends here.  Plain (freeze-and-drop) slides are
+                # stale-safe: the slid-out knot is frozen in the in-flight
+                # solve (its value cannot change), and _pull merges with a
+                # slide-shift — so the solve keeps overlapping host work.
+                if self._marg_prior is not None:
+                    self._sync_pending()
                 self._slide()
 
     def _slide(self):
@@ -311,6 +327,7 @@ class SlidingWindowEstimator:
         self.knots[:-1] = self.knots[1:]
         self.num_knots -= 1
         self.t0 += self.w.knot_separation
+        self._slide_count += 1
         self._evict_stale()
 
     def _marginalize_slot0(self):
@@ -368,8 +385,8 @@ class SlidingWindowEstimator:
             masks = self._build_masks(for_marginalization=True)
             sys = _linearize_jit(
                 self._params(), self.cams, self.imu, factors, masks,
-                self.solver, jnp.asarray(w.knot_separation, self.dtype),
-                jnp.asarray(w.bias_separation, self.dtype))
+                self.solver, np.asarray(w.knot_separation, self.dtype),
+                np.asarray(w.bias_separation, self.dtype))
             # NOTE: columns beyond D0 (self-calibration parameters, when a
             # calibrate_* flag frees them) are truncated: the prior treats
             # calibration as fixed, dropping evicted factors' calib
@@ -438,6 +455,7 @@ class SlidingWindowEstimator:
         for tid in dead:
             slot = self.tracks.pop(tid).slot
             self._lm_active[slot] = 0.0
+            self._slot_gen[slot] += 1   # reuse guard for async merges
             self._free_slots.append(slot)
 
     def _pose_at(self, t: float) -> np.ndarray:
@@ -705,10 +723,10 @@ class SlidingWindowEstimator:
                             frame_of[key] = idx
                     fr[i] = idx
             return VisualFactors(
-                s=jnp.asarray(s), u=jnp.asarray(u, dtype),
-                cam=jnp.asarray(cam), lm=jnp.asarray(lm),
-                meas=jnp.asarray(meas, dtype), active=jnp.asarray(act, dtype),
-                frame=jnp.asarray(fr))
+                s=np.asarray(s), u=np.asarray(u, dtype),
+                cam=np.asarray(cam), lm=np.asarray(lm),
+                meas=np.asarray(meas, dtype), active=np.asarray(act, dtype),
+                frame=np.asarray(fr))
 
         bearing = visual(bearing_l, w.max_bearing, 3, "bearing")
         pixel = visual([], w.max_pixel, 2, "pixel")
@@ -729,8 +747,8 @@ class SlidingWindowEstimator:
                 f_cam[:nf] = [k[0][1] for k in keys]
                 f_act[:nf] = 1.0
             frames = FrameTable(
-                s=jnp.asarray(f_s), u=jnp.asarray(f_u, dtype),
-                cam=jnp.asarray(f_cam), active=jnp.asarray(f_act, dtype))
+                s=np.asarray(f_s), u=np.asarray(f_u, dtype),
+                cam=np.asarray(f_cam), active=np.asarray(f_act, dtype))
         else:
             bearing = bearing.replace(frame=None)
             pixel = pixel.replace(frame=None)
@@ -756,9 +774,9 @@ class SlidingWindowEstimator:
             meas[:n] = np.stack([x[1] for x in d])
             act[:n] = 1.0
         inertial = InertialFactors(
-            s=jnp.asarray(s), u=jnp.asarray(u, dtype), bias_s=jnp.asarray(bs),
-            bias_u=jnp.asarray(bu, dtype), meas=jnp.asarray(meas, dtype),
-            active=jnp.asarray(act, dtype))
+            s=np.asarray(s), u=np.asarray(u, dtype), bias_s=np.asarray(bs),
+            bias_u=np.asarray(bu, dtype), meas=np.asarray(meas, dtype),
+            active=np.asarray(act, dtype))
 
         cap = w.max_prior
         s = np.zeros(cap, np.int32)
@@ -775,8 +793,8 @@ class SlidingWindowEstimator:
             meas[:n] = np.stack([x[1] for x in d])
             act[:n] = 1.0
         prior = PriorFactors(
-            s=jnp.asarray(s), u=jnp.asarray(u, dtype),
-            meas=jnp.asarray(meas, dtype), active=jnp.asarray(act, dtype))
+            s=np.asarray(s), u=np.asarray(u, dtype),
+            meas=np.asarray(meas, dtype), active=np.asarray(act, dtype))
 
         preint = None
         if w.max_preint > 0:
@@ -820,21 +838,21 @@ class SlidingWindowEstimator:
                 cols["sqi"][:n] = np.stack([m.sqrt_info for m in d])
                 cols["act"][:n] = 1.0
             preint = PreintFactors(
-                s_i=jnp.asarray(cols["s_i"]),
-                u_i=jnp.asarray(cols["u_i"], dtype),
-                s_j=jnp.asarray(cols["s_j"]),
-                u_j=jnp.asarray(cols["u_j"], dtype),
-                bias_s=jnp.asarray(cols["bs"]),
-                bias_u=jnp.asarray(cols["bu"], dtype),
-                dq=jnp.asarray(cols["dq"], dtype),
-                dv=jnp.asarray(cols["dv"], dtype),
-                dp=jnp.asarray(cols["dp"], dtype),
-                dt_ij=jnp.asarray(cols["dtij"], dtype),
-                J_bias=jnp.asarray(cols["Jb"], dtype),
-                bg0=jnp.asarray(cols["bg0"], dtype),
-                ba0=jnp.asarray(cols["ba0"], dtype),
-                sqrt_info=jnp.asarray(cols["sqi"], dtype),
-                active=jnp.asarray(cols["act"], dtype))
+                s_i=np.asarray(cols["s_i"]),
+                u_i=np.asarray(cols["u_i"], dtype),
+                s_j=np.asarray(cols["s_j"]),
+                u_j=np.asarray(cols["u_j"], dtype),
+                bias_s=np.asarray(cols["bs"]),
+                bias_u=np.asarray(cols["bu"], dtype),
+                dq=np.asarray(cols["dq"], dtype),
+                dv=np.asarray(cols["dv"], dtype),
+                dp=np.asarray(cols["dp"], dtype),
+                dt_ij=np.asarray(cols["dtij"], dtype),
+                J_bias=np.asarray(cols["Jb"], dtype),
+                bg0=np.asarray(cols["bg0"], dtype),
+                ba0=np.asarray(cols["ba0"], dtype),
+                sqrt_info=np.asarray(cols["sqi"], dtype),
+                active=np.asarray(cols["act"], dtype))
 
         smooth = None
         if self.w.enable_smoothness:
@@ -851,8 +869,8 @@ class SlidingWindowEstimator:
                     if 0 <= j < n_s:
                         acts[j] = 1.0
             idx = np.clip(idx, 0, max(0, self.num_knots - 3))
-            smooth = SmoothFactors(i=jnp.asarray(idx),
-                                   active=jnp.asarray(acts))
+            smooth = SmoothFactors(i=np.asarray(idx),
+                                   active=np.asarray(acts))
 
         marg_f = None
         if attach_marg and self._marg_prior is not None:
@@ -863,13 +881,13 @@ class SlidingWindowEstimator:
                 D0 = hp.H.shape[0]
                 sqrt_H, r0 = np.zeros((D0, D0)), np.zeros(D0)
             marg_f = MargPrior(
-                sqrt_H=jnp.asarray(sqrt_H, dtype),
-                r0=jnp.asarray(r0, dtype),
-                x0_knots=jnp.asarray(hp.x0_knots, dtype),
-                x0_bias_g=jnp.asarray(hp.x0_bias_g, dtype),
-                x0_bias_a=jnp.asarray(hp.x0_bias_a, dtype),
-                x0_gravity=jnp.asarray(hp.x0_gravity, dtype),
-                active=jnp.asarray(1.0 if hp.active else 0.0, dtype))
+                sqrt_H=np.asarray(sqrt_H, dtype),
+                r0=np.asarray(r0, dtype),
+                x0_knots=np.asarray(hp.x0_knots, dtype),
+                x0_bias_g=np.asarray(hp.x0_bias_g, dtype),
+                x0_bias_a=np.asarray(hp.x0_bias_a, dtype),
+                x0_gravity=np.asarray(hp.x0_gravity, dtype),
+                active=np.asarray(1.0 if hp.active else 0.0, dtype))
 
         calib_prior = None
         if attach_calib_prior and (w.calibrate_cam_extrinsics
@@ -879,13 +897,13 @@ class SlidingWindowEstimator:
             if w.calibrate_cam_extrinsics:
                 cam_act[1:] = 1.0  # cam0 is the body-frame gauge (frozen)
             calib_prior = CalibPrior(
-                cam_T_bs0=jnp.asarray(self._calib_anchor["cam_T_bs"], dtype),
-                cam_active=jnp.asarray(cam_act, dtype),
-                imu_T_bs0=jnp.asarray(self._calib_anchor["imu_T_bs"], dtype),
-                imu_active=jnp.asarray(
+                cam_T_bs0=np.asarray(self._calib_anchor["cam_T_bs"], dtype),
+                cam_active=np.asarray(cam_act, dtype),
+                imu_T_bs0=np.asarray(self._calib_anchor["imu_T_bs"], dtype),
+                imu_active=np.asarray(
                     1.0 if w.calibrate_imu_extrinsics else 0.0, dtype),
-                sqrt_rot=jnp.asarray(1.0 / w.calib_prior_sigma_rot, dtype),
-                sqrt_trans=jnp.asarray(1.0 / w.calib_prior_sigma_trans,
+                sqrt_rot=np.asarray(1.0 / w.calib_prior_sigma_rot, dtype),
+                sqrt_trans=np.asarray(1.0 / w.calib_prior_sigma_trans,
                                        dtype))
 
         return Factors(bearing=bearing, pixel=pixel, inertial=inertial,
@@ -947,12 +965,12 @@ class SlidingWindowEstimator:
             if not free_first:
                 # freeze camera 0 to pin the body frame (gauge)
                 m[0] = 0.0
-            return jnp.asarray(m)
+            return np.asarray(m)
 
         return Masks(
-            knots=jnp.asarray(knots),
-            landmarks=jnp.asarray(self._lm_active),
-            gravity=jnp.asarray(1.0 if has_imu else 0.0, np.float32),
+            knots=np.asarray(knots),
+            landmarks=np.asarray(self._lm_active),
+            gravity=np.asarray(1.0 if has_imu else 0.0, np.float32),
             bias=jnp.ones(w.max_bias_knots, np.float32) if has_imu
             else jnp.zeros(w.max_bias_knots, np.float32),
             # Extrinsics of cam0 stay frozen (it defines the body frame
@@ -960,25 +978,25 @@ class SlidingWindowEstimator:
             cam_ext=cmask(w.calibrate_cam_extrinsics, free_first=False),
             cam_intr=cmask(w.calibrate_cam_intrinsics),
             cam_dist=cmask(w.calibrate_cam_distortion),
-            imu_ext=(jnp.asarray(calib_on, np.float32)
+            imu_ext=(np.asarray(calib_on, np.float32)
                      if w.calibrate_imu_extrinsics else None),
-            cam_ext_trans=(jnp.asarray(trans_on, np.float32)
+            cam_ext_trans=(np.asarray(trans_on, np.float32)
                            if (w.calibrate_cam_extrinsics
                                or w.calibrate_imu_extrinsics) else None),
-            knots_rot=(jnp.asarray(0.0, np.float32)
+            knots_rot=(np.asarray(0.0, np.float32)
                        if w.knot_rotation_constant else None),
-            knots_trans=(jnp.asarray(0.0, np.float32)
+            knots_trans=(np.asarray(0.0, np.float32)
                          if w.knot_translation_constant else None),
         )
 
     def _params(self) -> Params:
         dtype = self.dtype
         return Params(
-            knots=jnp.asarray(self.knots, dtype),
-            landmarks=jnp.asarray(self.landmarks, dtype),
-            gravity=jnp.asarray(self.gravity, dtype),
-            bias_g=jnp.asarray(self.bias_g, dtype),
-            bias_a=jnp.asarray(self.bias_a, dtype),
+            knots=np.asarray(self.knots, dtype),
+            landmarks=np.asarray(self.landmarks, dtype),
+            gravity=np.asarray(self.gravity, dtype),
+            bias_g=np.asarray(self.bias_g, dtype),
+            bias_a=np.asarray(self.bias_a, dtype),
         )
 
     def optimize(self, async_dispatch: bool = False):
@@ -995,56 +1013,93 @@ class SlidingWindowEstimator:
         self._sync_pending()
         factors = self._build_factors()
         masks = self._build_masks()
-        out = ba.optimize(
-            self._params(), self.cams, self.imu, factors, masks, self.solver,
-            jnp.asarray(self.w.knot_separation, self.dtype),
-            jnp.asarray(self.w.bias_separation, self.dtype))
+        # ONE batched host->device transfer for all staged arrays, ONE
+        # packed device->host fetch for all results (ba.optimize_flat).
+        # Per-array transfers each pay a full round trip on remote-attached
+        # devices (~30-45 ms on the axon tunnel); the per-solve transfer
+        # cost drops from ~1.1 s to ~40 ms (measured, tools/tunnel probe +
+        # profile_estimator.py).
+        params, factors, masks = _jax.device_put(
+            (self._params(), factors, masks))
+        flat = ba.optimize_flat(
+            params, self.cams, self.imu, factors, masks, self.solver,
+            np.asarray(self.w.knot_separation, self.dtype),
+            np.asarray(self.w.bias_separation, self.dtype))
         self._solve_count += 1
         if async_dispatch:
-            self._pending = (out, self.num_knots, self._lm_active.copy(),
-                             self._gravity_seeded)
+            self._pending = (flat, self.num_knots, self._lm_active.copy(),
+                             self._gravity_seeded, self._slide_count,
+                             self._slot_gen.copy())
             return None
-        return self._pull(out, self.num_knots, self._lm_active,
-                          self._gravity_seeded)
+        return self._pull(flat, self.num_knots, self._lm_active,
+                          self._gravity_seeded, self._slide_count,
+                          self._slot_gen)
 
     def _sync_pending(self):
         """Materialize an async solve's results into the host state."""
         if self._pending is None:
             return
-        out, n_disp, lm_disp, grav_seeded = self._pending
+        out, n_disp, lm_disp, grav_seeded, slides, gen = self._pending
         self._pending = None
-        self._last_stats = self._pull(out, n_disp, lm_disp, grav_seeded)
+        self._last_stats = self._pull(out, n_disp, lm_disp, grav_seeded,
+                                      slides, gen)
 
-    def _pull(self, out, n_disp, lm_active_disp, grav_seeded_disp):
+    def _pull(self, flat, n_disp, lm_active_disp, grav_seeded_disp,
+              slides_disp, gen_disp):
         """Merge device solve results into the host state.  Rows created
         after dispatch (extended knots, newly triangulated landmarks) keep
         their host-side initial values; extended knots are re-extrapolated
-        from the solved last dispatched knot."""
-        params, cams, imu, stats = out
-        knots = np.array(params.knots, np.float64)   # blocks on the device
-        self.knots[:n_disp] = knots[:n_disp]
-        if self.num_knots > n_disp:
-            self.knots[n_disp:self.num_knots] = self.knots[n_disp - 1]
-        lm = np.array(params.landmarks, np.float64)
-        sel = np.asarray(lm_active_disp) > 0
+        from the solved last dispatched knot.  Async overlap: plain slides
+        between dispatch and merge shift the knot indexing (``shift``); the
+        slid-out knots were frozen in the solve so nothing is lost.
+        Landmark slots freed-and-reused since dispatch (generation bump)
+        keep their new host values."""
+        w = self.w
+        K, L, Kb = w.max_knots, w.max_landmarks, w.max_bias_knots
+        C = int(self.cams_np["T_bs"].shape[0])
+        off, total = ba.flat_layout(K, L, Kb, C, self.solver.max_iterations)
+        v = np.array(flat, np.float64)   # the ONE blocking fetch
+
+        def seg(name, shape=None):
+            a, b = off[name]
+            x = v[a:b]
+            return x.reshape(shape) if shape is not None else x
+
+        knots = seg("knots", (K, 7))
+        shift = self._slide_count - slides_disp
+        n_valid = n_disp - shift
+        if n_valid > 0:
+            self.knots[:n_valid] = knots[shift:n_disp]
+            if self.num_knots > n_valid:
+                self.knots[n_valid:self.num_knots] = self.knots[n_valid - 1]
+        lm = seg("landmarks", (L, 3))
+        sel = (np.asarray(lm_active_disp) > 0) \
+            & (self._slot_gen == gen_disp)
         self.landmarks[sel] = lm[sel]
         if grav_seeded_disp == self._gravity_seeded:
-            self.gravity = np.array(params.gravity, np.float64)
-        self.bias_g = np.array(params.bias_g, np.float64)
-        self.bias_a = np.array(params.bias_a, np.float64)
+            self.gravity = seg("gravity").copy()
+        self.bias_g = seg("bias_g", (Kb, 3)).copy()
+        self.bias_a = seg("bias_a", (Kb, 3)).copy()
         # refined calibration (identical to the inputs unless a calibrate_*
         # flag freed it)
-        w = self.w
         if (w.calibrate_cam_extrinsics or w.calibrate_cam_intrinsics
                 or w.calibrate_cam_distortion):
-            self.cams = cams
             self.cams_np = {
-                "T_bs": np.asarray(cams.T_bs, np.float64),
-                "intr": np.asarray(cams.intrinsics, np.float64),
-                "dist": np.asarray(cams.distortion, np.float64),
+                "T_bs": seg("cam_T_bs", (C, 7)).copy(),
+                "intr": seg("cam_intr", (C, 4)).copy(),
+                "dist": seg("cam_dist", (C, 4)).copy(),
             }
+            self.cams = CameraCalib(
+                T_bs=np.asarray(self.cams_np["T_bs"], self.dtype),
+                intrinsics=np.asarray(self.cams_np["intr"], self.dtype),
+                distortion=np.asarray(self.cams_np["dist"], self.dtype))
         if w.calibrate_imu_extrinsics:
-            self.imu = imu
+            self.imu = self.imu.replace(
+                T_bs=np.asarray(seg("imu_T_bs"), self.dtype))
+        st = seg("stats")
+        stats = ba.SolveStats(
+            initial_cost=st[0], final_cost=st[1], lambda_final=st[2],
+            accepted=seg("accepted") > 0.5)
         self._last_stats = stats
         return stats
 
