@@ -220,13 +220,27 @@ def generate(cfg: SyntheticConfig, calib: Optional[CameraCalib] = None,
            & (uv[..., 1] >= 0) & (uv[..., 1] < H))   # (T, C, L)
     stereo_vis = vis.all(axis=1)                     # (T, L)
 
+    # PERSISTENT track selection, like the reference's KLT frontend
+    # (klt.cpp:264-330): a selected feature is tracked until it leaves the
+    # view; new features top the set back up to max_tracks_per_frame.
+    # (Resampling a random visible subset per frame looks similar per frame
+    # but makes the set of track ids alive inside the sliding window ~the
+    # whole visible population — measured: landmark-slot exhaustion and
+    # divergence on full-length EuRoC runs.)
     frames = []
     L = landmarks.shape[0]
+    active: np.ndarray = np.zeros(0, int)
     for ti, t in enumerate(cam_stamps):
-        ids = np.nonzero(stereo_vis[ti])[0]
-        if len(ids) > cfg.max_tracks_per_frame:
-            ids = rng.choice(ids, cfg.max_tracks_per_frame, replace=False)
-            ids.sort()
+        vis_ids = np.nonzero(stereo_vis[ti])[0]
+        vis_set = set(vis_ids.tolist())
+        active = np.asarray([i for i in active if i in vis_set], int)
+        if len(active) < cfg.max_tracks_per_frame:
+            fresh = np.setdiff1d(vis_ids, active, assume_unique=False)
+            need = cfg.max_tracks_per_frame - len(active)
+            if len(fresh) > need:
+                fresh = rng.choice(fresh, need, replace=False)
+            active = np.concatenate([active, np.sort(fresh)])
+        ids = np.sort(active)
         n = len(ids)
         cam_idx = np.concatenate([np.zeros(n, int), np.ones(n, int)])
         tids = np.concatenate([ids, ids])

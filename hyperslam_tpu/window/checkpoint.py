@@ -55,6 +55,10 @@ def save_checkpoint(est: "SlidingWindowEstimator", path: str) -> None:
         [(t, c, s) for (t, c, s, _) in est._bearing], np.float64).reshape(-1, 3)
     bearing_meas = (np.stack([b for (_, _, _, b) in est._bearing])
                     if est._bearing else np.zeros((0, 3)))
+    pixel = np.asarray(
+        [(t, c, s) for (t, c, s, _) in est._pixel], np.float64).reshape(-1, 3)
+    pixel_meas = (np.stack([b for (_, _, _, b) in est._pixel])
+                  if est._pixel else np.zeros((0, 2)))
     inertial_t = np.asarray([t for (t, _) in est._inertial])
     inertial_m = (np.stack([m for (_, m) in est._inertial])
                   if est._inertial else np.zeros((0, 6)))
@@ -111,6 +115,7 @@ def save_checkpoint(est: "SlidingWindowEstimator", path: str) -> None:
         knots=est.knots, landmarks=est.landmarks, gravity=est.gravity,
         bias_g=est.bias_g, bias_a=est.bias_a, lm_active=est._lm_active,
         bearing=bearing, bearing_meas=bearing_meas,
+        pixel=pixel, pixel_meas=pixel_meas,
         inertial_t=inertial_t, inertial_m=inertial_m,
         prior_t=prior_t, prior_m=prior_m,
         arch_t=arch_t, arch_k=arch_k,
@@ -169,6 +174,9 @@ def load_checkpoint(est: "SlidingWindowEstimator", path: str) -> None:
     est._bearing = [
         (float(row[0]), int(row[1]), int(row[2]), z["bearing_meas"][i])
         for i, row in enumerate(z["bearing"])]
+    est._pixel = ([
+        (float(row[0]), int(row[1]), int(row[2]), z["pixel_meas"][i])
+        for i, row in enumerate(z["pixel"])] if "pixel" in z else [])
     est._inertial = [(float(t), z["inertial_m"][i])
                      for i, t in enumerate(z["inertial_t"])]
     est._prior = [(float(t), z["prior_m"][i])

@@ -60,6 +60,15 @@ class WindowConfig:
     max_landmarks: int = 256
     max_bearing: int = 2048
     max_pixel: int = 0
+    # Visual observation mode (reference declares both; its release uses
+    # bearings and comments the pixel path out, abstract.cpp:225-241):
+    # "bearing"  - pixels are undistorted to unit bearings on the host and
+    #              enter as angular residuals (reference behavior);
+    # "pixel"    - raw pixels enter as full projection-chain residuals
+    #              (project+distort+denormalize), required when intrinsics/
+    #              distortion are being calibrated online and natural for
+    #              far-field rigs (KITTI).  Set max_pixel > 0.
+    visual_mode: str = "bearing"
     max_inertial: int = 1024
     max_prior: int = 8
     # (stamp, camera) pairs sharing one spline query (solver FrameTable fast
@@ -195,6 +204,7 @@ class SlidingWindowEstimator:
 
         # Host-side factor staging.
         self._bearing: List[tuple] = []   # (t, cam, slot, bearing3)
+        self._pixel: List[tuple] = []     # (t, cam, slot, pixel2)
         self._inertial: List[tuple] = []  # (t, meas6)
         self._prior: List[tuple] = []     # (t, T7)
         self._preint_meas: List[PreintMeasurement] = []
@@ -298,7 +308,7 @@ class SlidingWindowEstimator:
         lo, hi = self._range()
         if t < hi:
             return
-        if self._bearing or self._prior or self._inertial \
+        if self._bearing or self._pixel or self._prior or self._inertial \
                 or self._preint_meas:
             self.optimize(async_dispatch=self.async_solves)
         while True:
@@ -344,6 +354,7 @@ class SlidingWindowEstimator:
         D0 = prior.H.shape[0]
 
         dying_b = [b for b in self._bearing if b[0] < lo_new]
+        dying_px = [b for b in self._pixel if b[0] < lo_new]
         dying_i = [b for b in self._inertial if b[0] < lo_new]
         dying_p = [b for b in self._prior if b[0] < lo_new]
         dying_q = [m for m in self._preint_meas if m.t_i < lo_new]
@@ -355,14 +366,17 @@ class SlidingWindowEstimator:
         if not getattr(self, "_dbg_fold_prior", True):
             dying_p = []
         _fold_smooth = getattr(self, "_dbg_fold_smooth", True)
-        surviving = {b[2] for b in self._bearing if b[0] >= lo_new}
-        dying_slots = sorted({b[2] for b in dying_b} - surviving)
+        surviving = {b[2] for b in self._bearing if b[0] >= lo_new} \
+            | {b[2] for b in self._pixel if b[0] >= lo_new}
+        dying_slots = sorted(({b[2] for b in dying_b}
+                              | {b[2] for b in dying_px}) - surviving)
         # Visual rows usable for marginalization: only those on landmarks
         # that die with them.  Rows on surviving landmarks are dropped (as
         # the reference drops them) — folding them in while their landmark
         # stays active would double-count or over-constrain.
         dset = set(dying_slots)
         dying_b = [b for b in dying_b if b[2] in dset]
+        dying_px = [b for b in dying_px if b[2] in dset]
 
         nl = len(dying_slots)
         Dtot = D0 + 3 * nl
@@ -372,14 +386,14 @@ class SlidingWindowEstimator:
         # The smoothness triple anchored at the departing knot (i = 0) dies
         # with it; folding it in gives the prior cross-information on the
         # surviving knots 1..2 even in vision-only runs.
-        has_dying = (bool(dying_b) or bool(dying_i) or bool(dying_p)
-                     or bool(dying_q)
+        has_dying = (bool(dying_b) or bool(dying_px) or bool(dying_i)
+                     or bool(dying_p) or bool(dying_q)
                      or (_fold_smooth and self.w.enable_smoothness
                          and self.num_knots >= 3))
         if has_dying:
             factors = self._build_factors(
-                bearing=dying_b, inertial=dying_i, prior=dying_p,
-                preint=dying_q, attach_marg=False,
+                bearing=dying_b, pixel=dying_px, inertial=dying_i,
+                prior=dying_p, preint=dying_q, attach_marg=False,
                 smooth_idx=[0] if _fold_smooth else [],
                 attach_calib_prior=False)
             masks = self._build_masks(for_marginalization=True)
@@ -446,10 +460,12 @@ class SlidingWindowEstimator:
         ``updateLandmarks``, ceres/optimizer.cpp:347-382)."""
         lo = self.t0
         self._bearing = [b for b in self._bearing if b[0] >= lo]
+        self._pixel = [b for b in self._pixel if b[0] >= lo]
         self._inertial = [b for b in self._inertial if b[0] >= lo]
         self._prior = [b for b in self._prior if b[0] >= lo]
         self._preint_meas = [m for m in self._preint_meas if m.t_i >= lo]
-        observed = {b[2] for b in self._bearing}
+        observed = {b[2] for b in self._bearing} \
+            | {b[2] for b in self._pixel}
         dead = [tid for tid, tr in self.tracks.items()
                 if tr.slot not in observed]
         for tid in dead:
@@ -611,11 +627,18 @@ class SlidingWindowEstimator:
                 self._lm_active[slot] = 1.0
                 self.landmarks[slot] = p_w
 
-        for cidx, tid, b in zip(cam_indices, track_ids, bearings):
-            tr = self.tracks.get(tid)
-            if tr is None:
-                continue
-            self._bearing.append((t, int(cidx), tr.slot, b))
+        if self.w.visual_mode == "pixel":
+            for cidx, tid, px_i in zip(cam_indices, track_ids, pixels):
+                tr = self.tracks.get(tid)
+                if tr is None:
+                    continue
+                self._pixel.append((t, int(cidx), tr.slot, px_i))
+        else:
+            for cidx, tid, b in zip(cam_indices, track_ids, bearings):
+                tr = self.tracks.get(tid)
+                if tr is None:
+                    continue
+                self._bearing.append((t, int(cidx), tr.slot, b))
 
     # ------------------------------------------------------------------ #
     # solve
@@ -659,8 +682,8 @@ class SlidingWindowEstimator:
         u = (ts - self.t0) / dt - s
         return s, u
 
-    def _build_factors(self, bearing=None, inertial=None, prior=None,
-                       preint=None, attach_marg=True,
+    def _build_factors(self, bearing=None, pixel=None, inertial=None,
+                       prior=None, preint=None, attach_marg=True,
                        smooth_idx=None, attach_calib_prior=True) -> Factors:
         """Stage host factor lists into full-capacity device arrays (one
         transfer per array, no device compute).  The list arguments default
@@ -668,6 +691,7 @@ class SlidingWindowEstimator:
         subsets instead."""
         w, dtype = self.w, self.dtype
         bearing_l = self._bearing if bearing is None else bearing
+        pixel_l = self._pixel if pixel is None else pixel
         inertial_l = self._inertial if inertial is None else inertial
         prior_l = self._prior if prior is None else prior
         preint_l = self._preint_meas if preint is None else preint
@@ -729,7 +753,7 @@ class SlidingWindowEstimator:
                 frame=np.asarray(fr))
 
         bearing = visual(bearing_l, w.max_bearing, 3, "bearing")
-        pixel = visual([], w.max_pixel, 2, "pixel")
+        pixel = visual(pixel_l, w.max_pixel, 2, "pixel")
 
         frames = None
         if frames_ok:

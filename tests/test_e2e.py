@@ -98,3 +98,32 @@ def test_stereo_vo_ate():
     # Synthetic stereo VO with 0.3 px noise should stay well under 5 cm ATE.
     assert out["trans_rmse"] < 0.05, out
     assert out["rot_rmse_deg"] < 2.0, out
+
+
+@pytest.mark.slow
+def test_stereo_vo_pixel_mode_ate():
+    """Pixel-observation mode end-to-end: raw pixels enter as full
+    projection-chain residuals (VERDICT r4 item 10; the reference declares
+    this path but ships it commented out in favor of bearings,
+    abstract.cpp:225-241 + ceres/optimizer.cpp:212-232)."""
+    cfg = synthetic.SyntheticConfig(
+        duration=4.0, knot_dt=0.5, cam_rate=10.0, num_landmarks=120,
+        pixel_noise=0.3, seed=1)
+    seq = synthetic.generate(cfg)
+
+    window = WindowConfig(
+        knot_separation=0.25, max_window=2.0, max_knots=24,
+        max_landmarks=160, max_bearing=0, max_pixel=4096, max_inertial=0,
+        max_prior=16, visual_mode="pixel", dtype=jnp.float64)
+    solver = SolverConfig(max_iterations=4, pixel_sqrt_info=1.0 / 0.3,
+                          pixel_huber=3.0, prior_sqrt_info=500.0)
+    est = _run_estimator(seq, window, solver, use_imu=False,
+                         prior_every=0.35)
+    assert len(est._pixel) > 0 and len(est._bearing) == 0
+
+    stamps, poses = est.export_trajectory(rate_hz=20.0)
+    gt = np.asarray(seq.gt_pose(stamps - est.root_stamp))
+    out = metrics.ape(stamps, poses[:, 4:], poses[:, :4],
+                      stamps, gt[:, 4:], gt[:, :4], align=True)
+    assert out["trans_rmse"] < 0.05, out
+    assert out["rot_rmse_deg"] < 2.0, out

@@ -88,7 +88,15 @@ def main(argv=None):
             imu_rate=args.imu_rate if args.imu else 1e-9,
             num_landmarks=n_lms, pixel_noise=args.pixel_noise,
             gyro_noise=1.7e-3, accel_noise=2e-2, seed=11)
-        seq = synthetic.generate(cfg, gt_knots=knots, gt_dt=kdt)
+        # generate on the CPU backend: the block outputs are tens of MB
+        # per chunk, which would ride the device tunnel for nothing (the
+        # estimator only ever sees the host-side measurement lists)
+        try:
+            gen_dev = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            gen_dev = jax.devices()[0]
+        with jax.default_device(gen_dev):
+            seq = synthetic.generate(cfg, gt_knots=knots, gt_dt=kdt)
         gen_s = time.time() - t_start
 
         window = WindowConfig(
