@@ -26,6 +26,7 @@ vs_baseline = our solves/s / 50.  North-star target >= 5x (BASELINE.md).
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -46,8 +47,8 @@ def main():
     dt = jnp.asarray(0.1, jnp.float32)
     bdt = jnp.asarray(1.0, jnp.float32)
 
-    B = 1
-    CHAIN = 250
+    B = int(os.environ.get("BENCH_B", "1"))
+    CHAIN = int(os.environ.get("BENCH_CHAIN", "250"))
     probs = [_build_problem(seed=i) for i in range(B)]
     cams, imu = probs[0][1], probs[0][2]
     stack = lambda xs: jax.tree.map(lambda *a: jnp.stack(a), *xs)

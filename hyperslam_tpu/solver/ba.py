@@ -1088,11 +1088,16 @@ def compute_cost(params: Params, cams: CameraCalib, imu: ImuCalib,
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def optimize(params: Params, cams: CameraCalib, imu: ImuCalib,
              factors: Factors, masks: Masks, cfg: SolverConfig,
-             dt, bias_dt):
+             dt, bias_dt, lam0=None):
     """Run the fixed-iteration LM loop.  Jittable; shapes never change.
 
     Returns ``(params, cams, imu, stats)`` — calibration is part of the
     optimized state (frozen by default via ``masks``, see ``Masks``).
+    ``lam0`` (traced scalar) warm-starts the damping: the online estimator
+    passes the previous solve's final lambda — restarting every solve at
+    ``cfg.init_lambda`` rejects the first 1-3 steps under motion stress
+    (measured: every MH_03 solve opened with two rejections) and the
+    under-damped accepted step is what compounds into runaways.
 
     Reference analogue: ``Optimizer<CERES>::optimize`` with max 5 LM
     iterations (``ceres/optimizer.cpp:276-279``)."""
@@ -1118,7 +1123,9 @@ def optimize(params: Params, cams: CameraCalib, imu: ImuCalib,
         lam_next = jnp.clip(lam_next, 1e-10, 1e6)
         return (p_next, c_next, i_next, lam_next, cost_next), accept
 
-    init = (params, cams, imu, jnp.asarray(cfg.init_lambda, dtype), cost0)
+    lam_init = jnp.asarray(cfg.init_lambda, dtype) if lam0 is None \
+        else jnp.asarray(lam0, dtype)
+    init = (params, cams, imu, lam_init, cost0)
     (p_fin, c_fin, i_fin, lam_fin, cost_fin), accepted = jax.lax.scan(
         body, init, None, length=cfg.max_iterations)
     return p_fin, c_fin, i_fin, SolveStats(
@@ -1142,7 +1149,7 @@ def flat_layout(K, L, Kb, C, iters):
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def optimize_flat(params: Params, cams: CameraCalib, imu: ImuCalib,
                   factors: Factors, masks: Masks, cfg: SolverConfig,
-                  dt, bias_dt):
+                  dt, bias_dt, lam0=None):
     """:func:`optimize` with the results packed into ONE flat vector
     (layout :func:`flat_layout`).
 
@@ -1152,7 +1159,7 @@ def optimize_flat(params: Params, cams: CameraCalib, imu: ImuCalib,
     (550 ms/solve -> ~40 ms with one packed fetch).  On locally-attached
     TPU hosts the packing is still strictly fewer, larger transfers."""
     p, c, i, st = optimize(params, cams, imu, factors, masks, cfg, dt,
-                           bias_dt)
+                           bias_dt, lam0)
     odt = _solve_dtype(p.knots.dtype)
     parts = [p.knots, p.landmarks, p.gravity, p.bias_g, p.bias_a,
              c.T_bs, c.intrinsics, c.distortion, i.T_bs,

@@ -39,6 +39,7 @@ def save_checkpoint(est: "SlidingWindowEstimator", path: str) -> None:
         "num_knots": est.num_knots,
         "solve_count": est._solve_count,
         "calib_rot_freed_at": est._calib_rot_freed_at,
+        "lam_warm": est._lam_warm,
         "tracks": {str(tid): [tr.slot, tr.last_stamp, tr.first_stamp]
                    for tid, tr in est.tracks.items()},
         "free_slots": est._free_slots,
@@ -159,6 +160,7 @@ def load_checkpoint(est: "SlidingWindowEstimator", path: str) -> None:
     est.num_knots = meta["num_knots"]
     est._solve_count = meta["solve_count"]
     est._calib_rot_freed_at = meta.get("calib_rot_freed_at")
+    est._lam_warm = meta.get("lam_warm")
     est._gravity_seeded = meta["gravity_seeded"]
     est.overflow_counts = dict(meta["overflow_counts"])
     est._marg_ever_active = meta["marg_ever_active"]

@@ -136,6 +136,20 @@ class WindowConfig:
     # reference has no such prior and relies on dense-enough data).
     # Sigmas live in SolverConfig (smooth_sqrt_info_rot/trans).
     enable_smoothness: bool = True
+    # Knot extrapolation on window advance: "constant_position" repeats the
+    # last knot (reference abstract.cpp:119-144).  "constant_velocity"
+    # (k_n = k_{n-1} * (k_{n-2}^-1 k_{n-1})) is available but measured
+    # UNSTABLE: the newest knot is the least-determined state, and doubling
+    # its (noisy) step amplifies estimation noise into the seed (NaN
+    # divergence on MH_03).
+    extrapolation: str = "constant_position"
+    # Warm-start each solve's LM damping at the previous solve's final
+    # lambda (ba.optimize lam0).  Cold-starting at init_lambda rejected the
+    # first 1-3 LM steps of EVERY online solve; under motion stress the
+    # under-damped accepted remainder compounded into km-scale runaways
+    # (measured on MH_03/V2_03 — warm start alone fixes the full-length
+    # run and usually makes the FIRST iteration accept).
+    warm_lambda: bool = True
 
 
 @dataclasses.dataclass
@@ -236,6 +250,9 @@ class SlidingWindowEstimator:
         # staged calibration release (see _build_masks): solve count at
         # which the rotation parts were first freed, None until then
         self._calib_rot_freed_at = None
+        # LM damping warm-start: previous solve's final lambda (see
+        # ba.optimize lam0)
+        self._lam_warm = None
         self._last_stats = None
         # Asynchronous solve pipeline (the reference's frontend-thread /
         # backend-thread overlap, backend.cpp:124-158): when enabled, the
@@ -300,11 +317,30 @@ class SlidingWindowEstimator:
         span = (self.num_knots - self.w.order + 1) * self.w.knot_separation
         return span >= self.w.max_window - 1e-9
 
+    def _extrapolate_knot(self) -> np.ndarray:
+        """Constant-VELOCITY extrapolation of the next knot:
+        k_n = k_{n-1} * (k_{n-2}^-1 * k_{n-1}).
+
+        The reference repeats the last knot value (constant position,
+        abstract.cpp:119-144).  At speed v the new knot then starts
+        v * separation behind truth (0.2-0.4 m at EuRoC MH speeds) and the
+        LM solve must close that gap from a cold start every advance —
+        measured on MH_03: under-corrected extrapolations compound into a
+        runaway once the per-solve correction stops converging.  The
+        constant-velocity seed starts acceleration-level close instead."""
+        k1 = self.knots[self.num_knots - 1]
+        if self.w.extrapolation != "constant_velocity" \
+                or self.num_knots < 2:
+            return k1.copy()
+        k2 = self.knots[self.num_knots - 2]
+        step = nplie.se3_compose(nplie.se3_inverse(k2), k1)
+        return nplie.se3_compose(k1, step)
+
     def _extend_to(self, t: float):
         """Advance the window so t is inside the valid range: optimize the
         current window first (the reference optimizes on every window
-        advance, abstract.cpp:119-144), then extrapolate new knots by
-        repeating the last value, sliding the ring when capacity is hit."""
+        advance, abstract.cpp:119-144), then extrapolate new knots
+        (constant velocity), sliding the ring when capacity is hit."""
         lo, hi = self._range()
         if t < hi:
             return
@@ -316,7 +352,7 @@ class SlidingWindowEstimator:
             if t < hi:
                 return
             if self.num_knots < self.w.max_knots:
-                self.knots[self.num_knots] = self.knots[self.num_knots - 1]
+                self.knots[self.num_knots] = self._extrapolate_knot()
                 self.num_knots += 1
             else:
                 # MARGINALIZING slides must see the solved estimate (the
@@ -1045,10 +1081,13 @@ class SlidingWindowEstimator:
         # profile_estimator.py).
         params, factors, masks = _jax.device_put(
             (self._params(), factors, masks))
+        lam0 = None if (self._lam_warm is None
+                        or not self.w.warm_lambda) else np.asarray(
+            self._lam_warm, self.dtype)
         flat = ba.optimize_flat(
             params, self.cams, self.imu, factors, masks, self.solver,
             np.asarray(self.w.knot_separation, self.dtype),
-            np.asarray(self.w.bias_separation, self.dtype))
+            np.asarray(self.w.bias_separation, self.dtype), lam0)
         self._solve_count += 1
         if async_dispatch:
             self._pending = (flat, self.num_knots, self._lm_active.copy(),
@@ -1094,7 +1133,13 @@ class SlidingWindowEstimator:
         n_valid = n_disp - shift
         if n_valid > 0:
             self.knots[:n_valid] = knots[shift:n_disp]
-            if self.num_knots > n_valid:
+            if self.w.extrapolation == "constant_velocity":
+                for j in range(n_valid, self.num_knots):
+                    k1 = self.knots[j - 1]
+                    k2 = self.knots[j - 2] if j >= 2 else k1
+                    self.knots[j] = nplie.se3_compose(
+                        k1, nplie.se3_compose(nplie.se3_inverse(k2), k1))
+            elif self.num_knots > n_valid:
                 self.knots[n_valid:self.num_knots] = self.knots[n_valid - 1]
         lm = seg("landmarks", (L, 3))
         sel = (np.asarray(lm_active_disp) > 0) \
@@ -1124,6 +1169,10 @@ class SlidingWindowEstimator:
         stats = ba.SolveStats(
             initial_cost=st[0], final_cost=st[1], lambda_final=st[2],
             accepted=seg("accepted") > 0.5)
+        # warm-start the next solve's damping at the converged level
+        # (clipped: never so low the first step free-falls, never so high
+        # the solver stalls)
+        self._lam_warm = float(np.clip(st[2], 1e-5, 1e2))
         self._last_stats = stats
         return stats
 

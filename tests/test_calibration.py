@@ -135,10 +135,14 @@ def _run_self_calib_scenario(perturb: bool):
     calib0 = seq.calib.replace(
         T_bs=jnp.asarray(np.stack([T_true[0], T1_init]), jnp.float64))
 
+    # warm_lambda off: it exists for long-run stability under motion
+    # stress; in this short, anchored scenario the cold-started (more
+    # aggressive) per-solve convergence recovers calibration faster.
     window = WindowConfig(
         knot_separation=0.25, max_window=2.0, max_knots=24,
         max_landmarks=200, max_bearing=8192, max_inertial=0, max_prior=16,
-        dtype=jnp.float64, calibrate_cam_extrinsics=True)
+        dtype=jnp.float64, calibrate_cam_extrinsics=True,
+        warm_lambda=False)
     solver = SolverConfig(max_iterations=5, bearing_sqrt_info=458 / 0.2,
                           prior_sqrt_info=500.0)
     est = SlidingWindowEstimator(window, calib0, imu=seq.imu_calib,

@@ -47,6 +47,9 @@ def main(argv=None):
     p.add_argument("--gt-knot-dt", type=float, default=0.1)
     p.add_argument("--f64", action="store_true",
                    help="f64 working dtype (CPU tests); default f32 (TPU)")
+    p.add_argument("--max-landmarks", type=int, default=512)
+    p.add_argument("--max-bearing", type=int, default=8192)
+    p.add_argument("--landmarks-per-s", type=float, default=25.0)
     args = p.parse_args(argv)
 
     import jax
@@ -82,7 +85,7 @@ def main(argv=None):
         full_dur = (n_knots - 3) * kdt
         # landmark density scales with duration (25 world points per second
         # of trajectory keeps ~100-150 stereo-visible tracks per frame)
-        n_lms = max(300, int(25 * full_dur))
+        n_lms = max(300, int(args.landmarks_per_s * full_dur))
         cfg = synthetic.SyntheticConfig(
             duration=full_dur, cam_rate=args.cam_rate,
             imu_rate=args.imu_rate if args.imu else 1e-9,
@@ -101,7 +104,8 @@ def main(argv=None):
 
         window = WindowConfig(
             knot_separation=args.knot_separation, max_window=3.0,
-            max_knots=40, max_landmarks=512, max_bearing=8192,
+            max_knots=40, max_landmarks=args.max_landmarks,
+            max_bearing=args.max_bearing,
             max_inertial=1024 if args.imu else 0, max_prior=16,
             bias_separation=2.0, max_bias_knots=8,
             dtype=jnp.float64 if args.f64 else jnp.float32)
