@@ -82,8 +82,16 @@ def smooth_trajectory_knots(key, num_knots: int, dtype=jnp.float64,
 
 def knots_from_tum(path: str, knot_dt: float, dtype=jnp.float64,
                    max_duration: Optional[float] = None):
-    """Fit ground-truth spline knots to a TUM trajectory file by sampling
-    poses at the knot rate (good enough as a GT trajectory generator).
+    """Fit ground-truth spline knots to a TUM trajectory file.
+
+    Each knot is the AVERAGE of the ground-truth samples in its
+    ``+-knot_dt/2`` bucket (quaternions hemisphere-aligned then
+    mean-normalized — exact enough for the sub-degree spreads of mocap).
+    Using raw nearest samples as knots instead turns mm-level mocap
+    position noise into ~0.4 m/s^2 acceleration jitter of the fitted
+    spline ((second difference)/knot_dt^2) — a 15-sigma systematic misfit
+    for any honestly-weighted synthetic IMU derived from it (measured:
+    it wrecked the stereo-inertial EuRoC suite).
 
     Returns (knots (N, 7), t0, knot_dt) with stamps re-based to 0."""
     from ..evaluation.metrics import load_tum
@@ -92,11 +100,29 @@ def knots_from_tum(path: str, knot_dt: float, dtype=jnp.float64,
     if max_duration is not None:
         keep = stamps <= max_duration
         stamps, pos, quat = stamps[keep], pos[keep], quat[keep]
-    # sample at knot_dt by nearest-stamp lookup (GT files are 100-200 Hz)
     tk = np.arange(0.0, stamps[-1], knot_dt)
-    idx = np.searchsorted(stamps, tk)
-    idx = np.clip(idx, 0, len(stamps) - 1)
-    knots = np.concatenate([quat[idx], pos[idx]], axis=1)
+    bucket = np.clip(np.round(stamps / knot_dt).astype(np.int64), 0,
+                     len(tk) - 1)
+    knots = np.zeros((len(tk), 7))
+    counts = np.bincount(bucket, minlength=len(tk))
+    for c in range(3):
+        knots[:, 4 + c] = np.bincount(bucket, weights=pos[:, c],
+                                      minlength=len(tk))
+    # hemisphere-align quaternions to the first sample before averaging
+    qa = quat * np.where((quat @ quat[0])[:, None] < 0, -1.0, 1.0)
+    for c in range(4):
+        knots[:, c] = np.bincount(bucket, weights=qa[:, c],
+                                  minlength=len(tk))
+    # empty buckets (gaps): fall back to nearest sample
+    empty = counts == 0
+    if empty.any():
+        idx = np.clip(np.searchsorted(stamps, tk[empty]), 0,
+                      len(stamps) - 1)
+        knots[empty, :4] = qa[idx]
+        knots[empty, 4:] = pos[idx]
+        counts = np.where(empty, 1, counts)
+    knots /= counts[:, None]
+    knots[:, :4] /= np.linalg.norm(knots[:, :4], axis=1, keepdims=True)
     return jnp.asarray(knots, dtype), 0.0, knot_dt
 
 

@@ -525,6 +525,62 @@ def _linearize_smooth(params: Params, f, cfg: SolverConfig, lay: Layout):
         J_lm=jnp.zeros((R, 3), dtype), lm_idx=jnp.zeros(R, jnp.int32))
 
 
+def _bias_prior_np(Kb, off_bg, off_ba, D, cfg):
+    """Constant row structure of the bias evolution priors (trace-time)."""
+    import numpy as np
+    rows = []
+    for off, w_rw, w_abs in (
+            (off_bg, cfg.bias_rw_sqrt_info_g, cfg.bias_abs_sqrt_info_g),
+            (off_ba, cfg.bias_rw_sqrt_info_a, cfg.bias_abs_sqrt_info_a)):
+        if w_rw > 0:
+            for k in range(Kb - 1):
+                for c in range(3):
+                    row = np.zeros(D)
+                    row[off + 3 * (k + 1) + c] = w_rw
+                    row[off + 3 * k + c] = -w_rw
+                    rows.append(row)
+        if w_abs > 0:
+            for k in range(Kb):
+                for c in range(3):
+                    row = np.zeros(D)
+                    row[off + 3 * k + c] = w_abs
+                    rows.append(row)
+    return np.asarray(rows) if rows else np.zeros((0, D))
+
+
+def _linearize_bias_prior(params: Params, cfg: SolverConfig, lay: Layout):
+    """Bias random-walk + absolute-anchor rows (see SolverConfig
+    bias_rw_sqrt_info_*).  Linear rows: r = J x with constant J."""
+    dtype = params.knots.dtype
+    Kb = params.num_bias_knots
+    Jn = _bias_prior_np(Kb, lay.bg, lay.ba, lay.D, cfg)
+    if Jn.shape[0] == 0:
+        return None
+    J = jnp.asarray(Jn, dtype)
+    x = jnp.concatenate([
+        jnp.zeros((lay.bg,), dtype),
+        params.bias_g.reshape(-1), params.bias_a.reshape(-1),
+        jnp.zeros((lay.D - lay.grav,), dtype)])
+    r = J @ x
+    R = J.shape[0]
+    return LinearSystem(J=J, r=r, J_lm=jnp.zeros((R, 3), dtype),
+                        lm_idx=jnp.zeros(R, jnp.int32))
+
+
+def _bias_prior_cost(params: Params, cfg: SolverConfig):
+    total = jnp.zeros((), params.knots.dtype)
+    for b, w_rw, w_abs in (
+            (params.bias_g, cfg.bias_rw_sqrt_info_g,
+             cfg.bias_abs_sqrt_info_g),
+            (params.bias_a, cfg.bias_rw_sqrt_info_a,
+             cfg.bias_abs_sqrt_info_a)):
+        if w_rw > 0:
+            total = total + w_rw ** 2 * jnp.sum((b[1:] - b[:-1]) ** 2)
+        if w_abs > 0:
+            total = total + w_abs ** 2 * jnp.sum(b * b)
+    return total
+
+
 def _calib_prior_rows(cams: CameraCalib, imu: ImuCalib, f,
                       cfg: SolverConfig, lay: Layout):
     """Extrinsics-anchor rows (see problem.CalibPrior): 6 rows per freed
@@ -738,6 +794,12 @@ def _family_systems(params: Params, cams: CameraCalib, imu: ImuCalib,
         sysc = _calib_prior_rows(cams, imu, factors.calib_prior, cfg, lay)
         if sysc is not None:
             systems.append((sysc, False))
+    # bias evolution priors whenever IMU factors are in play
+    if (factors.inertial.s.shape[0] or
+            (factors.preint is not None and factors.preint.s_i.shape[0])):
+        sysb = _linearize_bias_prior(params, cfg, lay)
+        if sysb is not None:
+            systems.append((sysb, False))
     return systems
 
 
@@ -1081,6 +1143,10 @@ def compute_cost(params: Params, cams: CameraCalib, imu: ImuCalib,
 
     if factors.calib_prior is not None:
         total += _calib_prior_cost(cams, imu, factors.calib_prior)
+
+    if (factors.inertial.s.shape[0] or
+            (factors.preint is not None and factors.preint.s_i.shape[0])):
+        total += _bias_prior_cost(params, cfg)
 
     return 0.5 * total
 

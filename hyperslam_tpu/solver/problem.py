@@ -426,6 +426,23 @@ class SolverConfig(struct.PyTreeNode):
                                                default=1.0 / 0.15)
     smooth_sqrt_info_trans: float = struct.field(pytree_node=False,
                                                  default=1.0 / 0.15)
+    # IMU bias evolution priors (rows added whenever bias columns are free;
+    # 0 disables).  Random walk between consecutive bias knots
+    # (1/sigma per knot step) + a weak absolute anchor per knot: without
+    # them the accel-bias spline is 3 free DoF per knot that absorbs
+    # gravity misalignment and extrapolates unboundedly (measured: |b_a|
+    # reached 1e7 m/s^2 and the stereo-inertial EuRoC runs exploded).
+    # Standard VIO treatment (e.g. Forster-style bias random walk); the
+    # reference's released bias handling is CHECK(false)
+    # (ceres/optimizer.cpp:384-386) so the paper formulation governs.
+    bias_rw_sqrt_info_g: float = struct.field(pytree_node=False,
+                                              default=1.0 / 1e-3)
+    bias_rw_sqrt_info_a: float = struct.field(pytree_node=False,
+                                              default=1.0 / 2e-2)
+    bias_abs_sqrt_info_g: float = struct.field(pytree_node=False,
+                                               default=1.0 / 0.05)
+    bias_abs_sqrt_info_a: float = struct.field(pytree_node=False,
+                                               default=1.0 / 0.5)
 
 
 class Layout(NamedTuple):

@@ -537,15 +537,20 @@ class SlidingWindowEstimator:
             return  # out-of-scope message: drop (reference abstract.cpp:115)
         if not self._gravity_seeded:
             # Initialize the gravity direction from the first specific-force
-            # sample: at (near) rest, a_meas = -R_bw g, and the bootstrap
-            # pose is identity, so g ~ -a_meas scaled to the fixed norm.
-            # (The reference hard-codes -norm*e0, environment/abstract.cpp:64,
-            # and relies on optimization to rotate it; seeding from data is
-            # strictly better conditioned.)
+            # sample: at (near) rest, a_meas = -R_bw g, so
+            # g_w ~ -R_wb(t) a_meas scaled to the fixed norm.  R_wb comes
+            # from the current estimate — identity right after an identity
+            # bootstrap, the prior pose when the estimator was bootstrapped
+            # from a pose prior (EuRoC ground truth starts at an arbitrary
+            # attitude; assuming identity seeded gravity up to 180 deg
+            # wrong and the full-weight accel factors exploded the first
+            # solves — measured).  (The reference hard-codes -norm*e0,
+            # environment/abstract.cpp:64.)
             a = np.asarray(accel, np.float64)
             norm = np.linalg.norm(a)
             if norm > 1.0:
-                self.gravity = -a / norm * s2.GRAVITY_NORM
+                R_wb = nplie.quat_to_matrix(self._pose_at(t)[:4])
+                self.gravity = -(R_wb @ (a / norm)) * s2.GRAVITY_NORM
                 self._gravity_seeded = True
         self._extend_to(t)
         if self.w.inertial_mode == "preintegrated":

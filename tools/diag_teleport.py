@@ -33,19 +33,25 @@ knots, t0, kdt = synthetic.knots_from_tum(
     f"/root/reference/resources/datasets/euroc/sequences/{SEQ}.txt",
     0.1, max_duration=DUR)
 full_dur = (int(knots.shape[0]) - 3) * kdt
+USE_IMU = os.environ.get("DIAG_IMU", "0") == "1"
 cfg = synthetic.SyntheticConfig(
-    duration=full_dur, cam_rate=20.0, imu_rate=1e-9,
+    duration=full_dur, cam_rate=20.0, imu_rate=200.0 if USE_IMU else 1e-9,
     num_landmarks=max(300, int(40 * full_dur)), pixel_noise=0.5, seed=11)
 seq = synthetic.generate(cfg, gt_knots=knots, gt_dt=kdt)
 
 window = WindowConfig(
     knot_separation=0.1, max_window=3.0, max_knots=40,
-    max_landmarks=1024, max_bearing=12288, max_inertial=0, max_prior=16,
+    max_landmarks=1024, max_bearing=12288,
+    max_inertial=1024 if USE_IMU else 0, max_prior=16,
+    bias_separation=2.0, max_bias_knots=8,
     dtype=jnp.float32,
     extrapolation=os.environ.get("DIAG_EXTRAP", "constant_position"),
     warm_lambda=os.environ.get("DIAG_WARMLAM", "0") == "1")
-solver = SolverConfig(max_iterations=5, bearing_sqrt_info=458 / 0.5,
-                      prior_sqrt_info=500.0)
+solver = SolverConfig(
+    max_iterations=int(os.environ.get("DIAG_ITERS", "5")),
+    bearing_sqrt_info=458 / 0.5, prior_sqrt_info=500.0,
+    gyro_sqrt_info=1 / 1.7e-3, accel_sqrt_info=1 / 2e-2,
+    inertial_scale=1.0)
 est = SlidingWindowEstimator(window, seq.calib, imu=seq.imu_calib,
                              solver=solver)
 
@@ -67,15 +73,30 @@ def wrapped(async_dispatch=False):
               f"{float(stats.final_cost):12.4e} acc "
               f"{''.join('1' if a else '0' for a in np.asarray(stats.accepted))} "
               f"dknot {dmax:10.3f} bear {len(est._bearing)} "
-              f"tracks {len(est.tracks)}{flag}", flush=True)
+              f"tracks {len(est.tracks)}"
+              f" g={np.round(est.gravity, 2)}"
+              f" |bg|={np.linalg.norm(est.bias_g, axis=1).max():.3f}"
+              f" |ba|={np.linalg.norm(est.bias_a, axis=1).max():.2f}{flag}",
+              flush=True)
     return stats
 
 
 est.optimize = wrapped
-t_first = seq.frames[0][0]
-for stamp, cam_idx, tids, px in seq.frames:
-    if stamp - t_first < 0.5:
-        est.add_pose_prior(stamp, np.asarray(seq.gt_pose(stamp)))
-    est.add_visual_tracks(stamp, cam_idx, tids, px)
+events = [(f[0], 1, ("frame", f)) for f in seq.frames]
+if USE_IMU:
+    events += [(s_[0], 2, ("imu", s_)) for s_ in seq.imu]
+events.sort(key=lambda e: (e[0], e[1]))
+t_first = events[0][0]
+if USE_IMU:
+    est.add_pose_prior(t_first, np.asarray(seq.gt_pose(t_first)))
+for t_, _, (kind, payload) in events:
+    if kind == "frame":
+        stamp, cam_idx, tids, px = payload
+        if stamp - t_first < 0.5:
+            est.add_pose_prior(stamp, np.asarray(seq.gt_pose(stamp)))
+        est.add_visual_tracks(stamp, cam_idx, tids, px)
+    else:
+        stamp, gyro, accel = payload
+        est.add_imu(stamp, gyro, accel)
 est.optimize()
 print("done; solves", est._solve_count, "overflow", est.overflow_counts)

@@ -119,9 +119,14 @@ def main(argv=None):
 
         events = [(f[0], 1, ("frame", f)) for f in seq.frames]
         if args.imu:
-            events += [(s[0], 0, ("imu", s)) for s in seq.imu]
+            events += [(s[0], 2, ("imu", s)) for s in seq.imu]
         events.sort(key=lambda e: (e[0], e[1]))
         t_first = events[0][0]
+        if args.imu:
+            # bootstrap from the GT pose BEFORE any IMU sample: gravity
+            # seeding needs the initial attitude (EuRoC worlds are not
+            # body-aligned)
+            est.add_pose_prior(t_first, np.asarray(seq.gt_pose(t_first)))
         n_frames = 0
         for t, _, (kind, payload) in events:
             if kind == "frame":
