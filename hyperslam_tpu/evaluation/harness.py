@@ -9,6 +9,8 @@ the evo protocol), and writes a results tree:
         estimation.hyper        reference row format
         estimation_tum.txt      TUM rows
         results.json            APE/RPE numbers + run stats
+        ape_*/rpe_*.png + _results.zip   evo --save_plot/--save_results
+                                analogues (plots.save_evo_artifacts)
 """
 
 from __future__ import annotations
@@ -32,6 +34,7 @@ class Sequence:
     name: str
     events: Callable[[], object]        # () -> iterable of system events
     groundtruth: Callable[[], tuple]    # () -> (stamps, pos, quat wxyz)
+    save_plots: bool = True             # evo --save_plot/--save_results
 
     def run(self, system, out_dir: str) -> Dict:
         os.makedirs(out_dir, exist_ok=True)
@@ -43,6 +46,10 @@ class Sequence:
         ape = metrics.ape(stamps, poses[:, 4:], poses[:, :4], gs, gp, gq,
                           align=True)
         rpe = metrics.rpe(stamps, poses[:, 4:], poses[:, :4], gs, gp, gq)
+        if self.save_plots:
+            from . import plots
+            plots.save_evo_artifacts(out_dir, stamps, poses[:, 4:],
+                                     poses[:, :4], gs, gp, gq)
         result = {
             "sequence": self.name,
             "ape": ape,

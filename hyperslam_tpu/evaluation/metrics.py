@@ -76,11 +76,14 @@ def associate(stamps_a, stamps_b, max_diff=0.02):
 
 
 def ape(est_stamps, est_pos, est_quat, gt_stamps, gt_pos, gt_quat,
-        align=True, with_scale=False, max_diff=0.02):
+        align=True, with_scale=False, max_diff=0.02, return_errors=False):
     """Absolute pose error after association (+ optional Umeyama alignment).
 
     Returns dict with translation/rotation RMSE/mean/median/max and the
-    number of matched poses.  quats are wxyz."""
+    number of matched poses.  quats are wxyz.  ``return_errors`` adds the
+    per-pose arrays (stamps, trans/rot errors, aligned + reference
+    positions) for plotting — the evo ``--save_plot/--save_results``
+    payload (reference ``evaluation/run.py:31-57``)."""
     ia, ib = associate(est_stamps, gt_stamps, max_diff)
     if len(ia) < 3:
         return {"n": int(len(ia)), "trans_rmse": np.inf, "rot_rmse_deg": np.inf}
@@ -98,7 +101,7 @@ def ape(est_stamps, est_pos, est_quat, gt_stamps, gt_pos, gt_quat,
     dR = np.einsum("nij,nkj->nik", Re, Rg)  # Re Rg^T
     tr = np.clip((np.trace(dR, axis1=1, axis2=2) - 1) / 2, -1.0, 1.0)
     rerr = np.degrees(np.arccos(tr))
-    return {
+    out = {
         "n": int(len(ia)),
         "trans_rmse": float(np.sqrt((terr ** 2).mean())),
         "trans_mean": float(terr.mean()),
@@ -107,10 +110,19 @@ def ape(est_stamps, est_pos, est_quat, gt_stamps, gt_pos, gt_quat,
         "rot_rmse_deg": float(np.sqrt((rerr ** 2).mean())),
         "rot_mean_deg": float(rerr.mean()),
     }
+    if return_errors:
+        out["arrays"] = {
+            "stamps": np.asarray(est_stamps)[ia],
+            "trans_errors": terr,
+            "rot_errors_deg": rerr,
+            "est_pos_aligned": pe,
+            "ref_pos": pg,
+        }
+    return out
 
 
 def rpe(est_stamps, est_pos, est_quat, gt_stamps, gt_pos, gt_quat,
-        delta=1, max_diff=0.02):
+        delta=1, max_diff=0.02, return_errors=False):
     """Relative pose error over pairs (i, i+delta) of matched poses."""
     ia, ib = associate(est_stamps, gt_stamps, max_diff)
     if len(ia) < delta + 2:
@@ -129,11 +141,18 @@ def rpe(est_stamps, est_pos, est_quat, gt_stamps, gt_pos, gt_quat,
     dR = np.einsum("nij,nkj->nik", dRe, dRg)
     tr = np.clip((np.trace(dR, axis1=1, axis2=2) - 1) / 2, -1.0, 1.0)
     rerr = np.degrees(np.arccos(tr))
-    return {
+    out = {
         "n": int(len(i0)),
         "trans_rmse": float(np.sqrt((terr ** 2).mean())),
         "rot_rmse_deg": float(np.sqrt((rerr ** 2).mean())),
     }
+    if return_errors:
+        out["arrays"] = {
+            "stamps": np.asarray(est_stamps)[ia][i0],
+            "trans_errors": terr,
+            "rot_errors_deg": rerr,
+        }
+    return out
 
 
 def load_tum(path):

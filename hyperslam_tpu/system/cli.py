@@ -67,12 +67,18 @@ def main(argv=None):
                       os.path.join(repo, ".jax_cache" + suffix))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from .config import load_system_spec
-    from .system import System
+    from .config import (load_system_spec, load_system_specs,
+                         split_spec_by_backend)
+    from .system import Cluster, System
     from ..evaluation import metrics
 
-    spec = load_system_spec(args.settings)
-    system = System(spec, dtype=dtype)
+    # A settings file may define several systems (reference Cluster,
+    # main.cpp:25-45) and/or several backends per system (each split to its
+    # own System with only its linked sensors, system.cpp:133 TODO).
+    specs = [sub for s in load_system_specs(args.settings)
+             for sub in split_spec_by_backend(s)]
+    cluster = Cluster(specs, dtype=dtype) if len(specs) > 1 else None
+    system = cluster.systems[0] if cluster else System(specs[0], dtype=dtype)
     if system.show_tracks:
         # the reference's show_tracks debug view (klt.cpp:103-141), headless:
         # one annotated PNG per N frames under <output>/tracks/
@@ -140,10 +146,18 @@ def main(argv=None):
     signal.signal(signal.SIGINT, _handler)
     signal.signal(signal.SIGUSR1, _handler)
 
-    system.run(events, progress_every=500,
-               should_stop=lambda: stop["flag"])
-    stamps, poses = system.shutdown(args.output)
-    print(f"exported {len(stamps)} poses to {args.output}")
+    if cluster is not None:
+        cluster.run(events, progress_every=500,
+                    should_stop=lambda: stop["flag"])
+        results = cluster.shutdown(args.output)
+        for name, (st, _) in results.items():
+            print(f"exported {len(st)} poses to {args.output}/{name}")
+        stamps, poses = results[system.spec.name]
+    else:
+        system.run(events, progress_every=500,
+                   should_stop=lambda: stop["flag"])
+        stamps, poses = system.shutdown(args.output)
+        print(f"exported {len(stamps)} poses to {args.output}")
 
     if args.synthetic:
         # score directly against the generating trajectory

@@ -41,6 +41,11 @@ class SensorSpec:
     resolution: Optional[tuple] = None
     intrinsics: Optional[np.ndarray] = None   # [cx, cy, fx, fy]
     distortion: Optional[np.ndarray] = None   # [k1, k2, p1, p2]
+    # shutter model (reference YAML `shutter: GLOBAL`, settings.yaml:28;
+    # the correction hook is commented out in the reference,
+    # abstract.cpp:217-219 — implemented here for VERTICAL readout)
+    shutter: str = "global"                   # "global" | "vertical"
+    shutter_delta: float = 0.0                # line delay [s/row]
     # imu
     gyroscope_intrinsics: Optional[np.ndarray] = None    # (3,3)
     accelerometer_intrinsics: Optional[np.ndarray] = None
@@ -122,6 +127,16 @@ def _parse_sensor(node: dict) -> SensorSpec:
         # stereo_inertial file lists cam0 tangential as [p2, p1]-looking
         # values — we keep the declared order [k1, k2, p1, p2].
         spec.distortion = p
+        spec.shutter = str(node.get("shutter", "GLOBAL")).lower()
+        spec.shutter_delta = float(node.get("shutter_delta", 0.0))
+        if spec.shutter not in ("global", "vertical"):
+            raise ValueError(
+                f"unsupported shutter type '{node.get('shutter')}' for "
+                f"{spec.name}: GLOBAL and VERTICAL are supported")
+        if spec.shutter == "vertical" and spec.shutter_delta <= 0.0:
+            raise ValueError(
+                f"camera {spec.name}: shutter VERTICAL requires "
+                "shutter_delta (line delay in seconds/row)")
     elif stype == "imu":
         spec.gyroscope_intrinsics = _intr_diag_offdiag_to_matrix(
             node.get("gyroscope_intrinsics", [1, 1, 1, 0, 0, 0]))
@@ -177,18 +192,62 @@ def _parse_backend(node: dict) -> BackendSpec:
     )
 
 
-def load_system_spec(path: str) -> SystemSpec:
-    with open(path) as f:
-        root = yaml.safe_load(f)
-    node = root.get("System", root)
+def _parse_system_node(node: dict, node_name: str) -> SystemSpec:
     return SystemSpec(
         name=node.get("name", "System-0"),
-        node_name=root.get("Node", "HyperSLAM"),
+        node_name=node_name,
         modules=node.get("modules", []),
         sensors=[_parse_sensor(s) for s in node.get("sensors", [])],
         frontends=[_parse_frontend(s) for s in node.get("frontends", [])],
         backends=[_parse_backend(s) for s in node.get("backends", [])],
     )
+
+
+def load_system_spec(path: str) -> SystemSpec:
+    with open(path) as f:
+        root = yaml.safe_load(f)
+    node = root.get("System", root)
+    return _parse_system_node(node, root.get("Node", "HyperSLAM"))
+
+
+def load_system_specs(path: str) -> List[SystemSpec]:
+    """All systems in a settings file (the reference's Cluster input,
+    ``apps/hyperslam/main.cpp:25-45``; its YAML schema titles the section
+    "# Systems", settings.yaml:3).  Accepts either one ``System:`` node or
+    a ``Systems:`` list."""
+    with open(path) as f:
+        root = yaml.safe_load(f)
+    node_name = root.get("Node", "HyperSLAM")
+    if "Systems" in root:
+        return [_parse_system_node(n, node_name) for n in root["Systems"]]
+    return [_parse_system_node(root.get("System", root), node_name)]
+
+
+def split_spec_by_backend(spec: SystemSpec) -> List[SystemSpec]:
+    """One sub-spec per backend, each carrying ONLY its linked sensors —
+    the reference's open TODO at ``system.cpp:133`` ("Only provide
+    (correct) subset of sensors for multiple backends"), resolved here via
+    the declared link graph: sensor --frontend--> frontend --backend-->
+    backend.  Frontends with no ``backend:`` link attach to every backend
+    (matching the reference's permissive default)."""
+    if len(spec.backends) <= 1:
+        return [spec]
+    out = []
+    for be in spec.backends:
+        fes = [f for f in spec.frontends
+               if f.backend == be.name or not f.backend]
+        fe_names = {f.name for f in fes}
+        sensors = [s for s in spec.sensors
+                   if s.frontend in fe_names or not s.frontend]
+        if not any(s.type == "camera" for s in sensors):
+            raise ValueError(
+                f"backend {be.name}: no camera sensor linked (frontends "
+                f"{sorted(fe_names)}) — every backend needs at least one")
+        out.append(SystemSpec(
+            name=f"{spec.name}-{be.name}", node_name=spec.node_name,
+            modules=spec.modules, sensors=sensors, frontends=fes,
+            backends=[be]))
+    return out
 
 
 def camera_calib_from_spec(spec: SystemSpec, dtype=jnp.float32) -> CameraCalib:
@@ -249,6 +308,15 @@ def window_config_from_spec(spec: SystemSpec, dtype=jnp.float32,
               inertial_mode=be.inertial_mode,
               max_preint=(64 if be.inertial_mode == "preintegrated" else 0),
               dtype=dtype)
+    if any(c.shutter == "vertical" for c in cams):
+        kw["shutter_deltas"] = tuple(
+            c.shutter_delta if c.shutter == "vertical" else 0.0 for c in cams)
+        kw["shutter_rows"] = tuple(
+            (c.resolution or (752, 480))[1] for c in cams)
+        # each image now needs bands x cams frame slots (default 8 bands)
+        bands = int(overrides.get("shutter_bands", 8))
+        if bands > 0:
+            kw["max_frames"] = int(256 * bands)
     kw.update(overrides)
     return WindowConfig(**kw)
 

@@ -86,7 +86,17 @@ class System:
         self._frames += 1
 
     def on_visual_tracks(self, stamp: float, cam_idx, tids, px):
-        """Pre-tracked features (synthetic pipelines / external trackers)."""
+        """Pre-tracked features (synthetic pipelines / external trackers).
+
+        Rows whose camera index is not wired into this system (multi-
+        backend sensor subsetting, ``config.split_spec_by_backend``) are
+        dropped — the stream carries global indices."""
+        cam_idx = np.asarray(cam_idx)
+        n_cams = int(self.cams.T_bs.shape[0])
+        if cam_idx.size and cam_idx.max() >= n_cams:
+            keep = cam_idx < n_cams
+            cam_idx, tids, px = cam_idx[keep], np.asarray(tids)[keep], \
+                np.asarray(px)[keep]
         self.estimator.add_visual_tracks(stamp, cam_idx, tids, px)
         self._frames += 1
 
@@ -100,10 +110,31 @@ class System:
 
     # -- run loop --------------------------------------------------------- #
 
+    def accepts(self, kind: str) -> bool:
+        """Whether this system's sensor set consumes an event kind (multi-
+        backend subsetting: an IMU-less backend skips imu events)."""
+        if kind == "imu":
+            return self.has_imu
+        return True
+
+    def dispatch(self, e: tuple):
+        """Route one event ("imu", t, gyro, accel) / ("stereo", t, img0,
+        img1) / ("tracks", t, cam_idx, tids, px) / ("prior", t, T)."""
+        kind = e[0]
+        if kind == "imu":
+            self.on_imu(e[1], e[2], e[3])
+        elif kind == "stereo":
+            self.on_stereo_images(e[1], e[2], e[3])
+        elif kind == "tracks":
+            self.on_visual_tracks(e[1], e[2], e[3], e[4])
+        elif kind == "prior":
+            self.on_pose_prior(e[1], e[2])
+        else:
+            raise ValueError(f"unknown event kind {kind}")
+
     def run(self, events: Iterable[tuple], progress_every: float = 0.0,
             should_stop=None):
-        """Consume ("imu", t, gyro, accel) / ("stereo", t, img0, img1) /
-        ("tracks", t, cam_idx, tids, px) / ("prior", t, T) events.
+        """Consume a time-ordered event stream (see :meth:`dispatch`).
 
         ``should_stop``: optional callable polled between events — the
         equivalent of the reference's SIGINT/SIGUSR1 shutdown path
@@ -113,17 +144,7 @@ class System:
         for e in events:
             if should_stop is not None and should_stop():
                 break
-            kind = e[0]
-            if kind == "imu":
-                self.on_imu(e[1], e[2], e[3])
-            elif kind == "stereo":
-                self.on_stereo_images(e[1], e[2], e[3])
-            elif kind == "tracks":
-                self.on_visual_tracks(e[1], e[2], e[3], e[4])
-            elif kind == "prior":
-                self.on_pose_prior(e[1], e[2])
-            else:
-                raise ValueError(f"unknown event kind {kind}")
+            self.dispatch(e)
             n += 1
             if progress_every and n % int(progress_every) == 0:
                 print(f"[system] {n} events, {self._frames} frames, "
@@ -149,3 +170,53 @@ class System:
         tum_path = os.path.join(output_dir, "estimation_tum.txt")
         metrics.save_tum(tum_path, stamps, poses[:, 4:], poses[:, :4])
         return stamps, poses
+
+
+class Cluster:
+    """Several Systems run together off one event stream — the reference's
+    ``Cluster`` (``apps/hyperslam/main.cpp:25-45``: start all, one SIGINT
+    stops all, each exports to its own directory).
+
+    Multi-backend specs are split so each backend receives only its linked
+    sensors (``config.split_spec_by_backend`` — the reference's open TODO
+    at ``system.cpp:133``); events are routed by each system's sensor set
+    (:meth:`System.accepts`)."""
+
+    def __init__(self, specs, dtype=jnp.float32, **system_kw):
+        if not specs:
+            raise ValueError("Cluster needs at least one SystemSpec")
+        self.systems = [System(s, dtype=dtype, **system_kw) for s in specs]
+
+    @classmethod
+    def from_settings(cls, path: str, dtype=jnp.float32, **system_kw):
+        """All systems of a settings file, multi-backend ones split."""
+        specs = []
+        for spec in cfg_mod.load_system_specs(path):
+            specs.extend(cfg_mod.split_spec_by_backend(spec))
+        return cls(specs, dtype=dtype, **system_kw)
+
+    def run(self, events: Iterable[tuple], progress_every: float = 0.0,
+            should_stop=None):
+        t_wall = time.time()
+        n = 0
+        for e in events:
+            if should_stop is not None and should_stop():
+                break
+            kind = e[0]
+            for s in self.systems:
+                if s.accepts(kind):
+                    s.dispatch(e)
+            n += 1
+            if progress_every and n % int(progress_every) == 0:
+                print(f"[cluster] {n} events, {time.time() - t_wall:.1f}s",
+                      flush=True)
+        for s in self.systems:
+            s.estimator.optimize()
+
+    def shutdown(self, output_dir: str, rate_hz: float = 100.0):
+        """Export every system to ``<output_dir>/<system name>/``."""
+        out = {}
+        for s in self.systems:
+            d = os.path.join(output_dir, s.spec.name)
+            out[s.spec.name] = s.shutdown(d, rate_hz)
+        return out

@@ -150,6 +150,23 @@ class WindowConfig:
     # (measured on MH_03/V2_03 — warm start alone fixes the full-length
     # run and usually makes the FIRST iteration accept).
     warm_lambda: bool = True
+    # Rolling-shutter stamp correction (the reference declares the hook and
+    # comments it out: ``C.correctShutterStamps(stamp, PX)``,
+    # abstract.cpp:217-219; the YAML carries ``shutter:`` per camera).
+    # ``shutter_deltas[c]`` is camera c's line delay in seconds/row
+    # (vertical readout): each observation's stamp becomes
+    # ``t_frame + delta * row`` — free in a continuous-time spline model,
+    # no extra states.  None or all-zero = global shutter.
+    # ``shutter_bands`` > 0 quantizes the row offsets into that many bands
+    # per image so observations within a band share a stamp and the
+    # frame-shared linearization fast path survives (bands x cams spline
+    # queries per frame instead of one); 0 = exact per-observation stamps
+    # (each observation becomes its own "frame"; staging falls back to
+    # per-factor spline queries).  ``shutter_rows[c]`` (image height) is
+    # required when bands > 0 to place the band centers.
+    shutter_deltas: Optional[tuple] = None
+    shutter_bands: int = 8
+    shutter_rows: Optional[tuple] = None
 
 
 @dataclasses.dataclass
@@ -609,13 +626,17 @@ class SlidingWindowEstimator:
         t = self._local(stamp)
         if t < self.t0:
             return
-        self._extend_to(t)
-        if self.w.inertial_mode == "preintegrated":
-            self._close_preint_interval(t)
 
         cam_indices = np.asarray(cam_indices)
         track_ids = np.asarray(track_ids)
         pixels = np.asarray(pixels, np.float64)
+
+        # Rolling-shutter stamp correction (abstract.cpp:217-219 analogue):
+        # per-observation readout offsets from the measured row.
+        t_off = self._shutter_offsets(cam_indices, pixels)
+        self._extend_to(t + (float(t_off.max()) if t_off is not None else 0.0))
+        if self.w.inertial_mode == "preintegrated":
+            self._close_preint_interval(t)
 
         # pixels -> unit bearings (numpy, per camera)
         bearings = np.zeros((len(track_ids), 3))
@@ -668,18 +689,50 @@ class SlidingWindowEstimator:
                 self._lm_active[slot] = 1.0
                 self.landmarks[slot] = p_w
 
+        t_obs = np.full(len(track_ids), t) if t_off is None else t + t_off
         if self.w.visual_mode == "pixel":
-            for cidx, tid, px_i in zip(cam_indices, track_ids, pixels):
+            for i, (cidx, tid, px_i) in enumerate(
+                    zip(cam_indices, track_ids, pixels)):
                 tr = self.tracks.get(tid)
                 if tr is None:
                     continue
-                self._pixel.append((t, int(cidx), tr.slot, px_i))
+                self._pixel.append((t_obs[i], int(cidx), tr.slot, px_i))
         else:
-            for cidx, tid, b in zip(cam_indices, track_ids, bearings):
+            for i, (cidx, tid, b) in enumerate(
+                    zip(cam_indices, track_ids, bearings)):
                 tr = self.tracks.get(tid)
                 if tr is None:
                     continue
-                self._bearing.append((t, int(cidx), tr.slot, b))
+                self._bearing.append((t_obs[i], int(cidx), tr.slot, b))
+
+    def _shutter_offsets(self, cam_indices: np.ndarray,
+                         pixels: np.ndarray) -> Optional[np.ndarray]:
+        """Per-observation readout-time offsets, or None for global shutter.
+
+        Vertical rolling shutter: ``offset = delta_c * row`` (the frame
+        stamp is row 0's exposure).  With ``shutter_bands`` > 0 rows are
+        quantized to band centers so each band shares one stamp (keeps the
+        frame-shared solver fast path at bands x cams frames per image)."""
+        deltas = self.w.shutter_deltas
+        if deltas is None or not any(deltas):
+            return None
+        off = np.zeros(len(cam_indices))
+        for c in np.unique(cam_indices):
+            d = float(deltas[int(c)]) if int(c) < len(deltas) else 0.0
+            if d == 0.0:
+                continue
+            m = cam_indices == c
+            rows = pixels[m, 1]
+            if self.w.shutter_bands > 0:
+                if not self.w.shutter_rows:
+                    raise ValueError(
+                        "shutter_bands > 0 requires shutter_rows (image "
+                        "heights) to place band centers; set "
+                        "WindowConfig.shutter_rows or shutter_bands=0")
+                bw = float(self.w.shutter_rows[int(c)]) / self.w.shutter_bands
+                rows = (np.floor(rows / bw) + 0.5) * bw
+            off[m] = d * rows
+        return off
 
     # ------------------------------------------------------------------ #
     # solve

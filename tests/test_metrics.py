@@ -71,3 +71,36 @@ def test_associate_handles_offsets():
     ia, ib = metrics.associate(a, b, max_diff=0.02)
     assert len(ia) == 10
     np.testing.assert_array_equal(ia, ib)
+
+
+def test_evo_artifacts(tmp_path):
+    """plots.save_evo_artifacts writes the four evo-style artifacts
+    (reference evaluation/run.py:31-57: --save_plot + --save_results per
+    metric) with correct stats inside the zips."""
+    import json
+    import os
+    import zipfile
+    from hyperslam_tpu.evaluation import plots
+
+    rng = np.random.default_rng(0)
+    n = 60
+    t = np.arange(n) * 0.1
+    gt_pos = np.cumsum(rng.normal(0, 0.05, (n, 3)), axis=0)
+    q = np.tile([1.0, 0, 0, 0], (n, 1))
+    est_pos = gt_pos + rng.normal(0, 0.01, (n, 3))
+    out = plots.save_evo_artifacts(tmp_path, t, est_pos, q, t, gt_pos, q)
+    assert set(out) == {"ape_translation", "ape_rotation",
+                        "rpe_translation", "rpe_rotation"}
+    for name in out:
+        png = os.path.join(tmp_path, f"{name}.png")
+        zp = os.path.join(tmp_path, f"{name}_results.zip")
+        assert os.path.isfile(png) and os.path.getsize(png) > 1000
+        with zipfile.ZipFile(zp) as z:
+            stats = json.loads(z.read("stats.json"))
+            assert stats["trans_rmse"] == out[name]["trans_rmse"]
+            import io
+            err = np.load(io.BytesIO(z.read("error_array.npy")))
+            assert len(err) == stats["n"]
+    # numbers agree with the direct metric call
+    ape = metrics.ape(t, est_pos, q, t, gt_pos, q, align=True)
+    assert abs(out["ape_translation"]["trans_rmse"] - ape["trans_rmse"]) < 1e-12
