@@ -188,7 +188,12 @@ def condensed_optimize(params: Params, cams: CameraCalib, imu: ImuCalib,
     Kb = params.num_bias_knots
     n_dev = mesh.shape[AXIS]
     Ks = K // n_dev
-    cfg = cfg.replace(use_jacfwd=True)
+    # bias-prior rows counted once in the dense tail (not per chip —
+    # see SolverConfig.include_bias_prior, r5 fix)
+    has_bias_prior = bool(
+        factors_td.inertial.s.shape[1] or
+        (factors_td.preint is not None and factors_td.preint.s_i.shape[1]))
+    cfg = cfg.replace(use_jacfwd=True, include_bias_prior=False)
     assert Ks >= 2 * halo, (
         f"per-chip slice ({Ks}) must cover leading interface + interior "
         f"+ borrowed halo (needs Ks >= 2*halo = {2 * halo})")
@@ -358,16 +363,19 @@ def condensed_optimize(params: Params, cams: CameraCalib, imu: ImuCalib,
 
     def cost_of(p, c, i):
         return cost_shard(p.knots, p, c, i, factors_sh, lm_map) \
-            + ba.dense_prior_cost(p, c, i, None, calib_prior)
+            + ba.dense_prior_cost(p, c, i, None, calib_prior, cfg,
+                                  has_bias_prior)
 
     cost0 = cost_of(params, cams, imu)
 
     def dense_tail(p, c, i):
-        if calib_prior is None:
+        if calib_prior is None and not has_bias_prior:
             z = jnp.zeros((Dtail, Dtail), ba._solve_dtype(dtype))
             return z, jnp.zeros((Dtail,), z.dtype)
+        # calib anchor + bias prior both touch only tail columns (>= K*6)
         Ha, ga = ba.dense_prior_reduce(p, c, i, None, calib_prior, masks,
-                                       cfg, ba._solve_dtype(dtype))
+                                       cfg, ba._solve_dtype(dtype),
+                                       bias_prior=has_bias_prior)
         return Ha[K * 6:, K * 6:], ga[K * 6:]
 
     def body(carry, _):

@@ -78,7 +78,13 @@ def distributed_optimize(params: Params, cams: CameraCalib, imu: ImuCalib,
     # shard_map bodies depending on the surrounding fusion (wrong J,
     # correct primal — see SolverConfig.use_jacfwd).  Forward mode is
     # immune; every sharded solver forces it.
-    cfg = cfg.replace(use_jacfwd=True)
+    # bias-prior rows must be counted ONCE, not once per shard: suppress
+    # them inside the shard body and add them with the other replicated
+    # dense rows below (SolverConfig.include_bias_prior)
+    has_bias_prior = bool(
+        factors.inertial.s.shape[0] or
+        (factors.preint is not None and factors.preint.s_i.shape[0]))
+    cfg = cfg.replace(use_jacfwd=True, include_bias_prior=False)
 
     # dense replicated rows (see shard_factors): applied outside the shard
     marg = factors.marg
@@ -106,16 +112,18 @@ def distributed_optimize(params: Params, cams: CameraCalib, imu: ImuCalib,
 
     def cost_of(p, c, i):
         return cost_shard(p, c, i, factors_sh) \
-            + ba.dense_prior_cost(p, c, i, marg, calib_prior)
+            + ba.dense_prior_cost(p, c, i, marg, calib_prior, cfg,
+                                  has_bias_prior)
 
     cost0 = cost_of(params, cams, imu)
 
     def body(carry, _):
         p, c, i, lam, cost = carry
         H, g, Hll, gl, W = reduce_shard(p, c, i, factors_sh, masks)
-        if marg is not None or calib_prior is not None:
+        if marg is not None or calib_prior is not None or has_bias_prior:
             Ha, ga = ba.dense_prior_reduce(p, c, i, marg, calib_prior,
-                                           masks, cfg, H.dtype)
+                                           masks, cfg, H.dtype,
+                                           bias_prior=has_bias_prior)
             H = H + Ha
             g = g + ga
         dp, dl = ba.solve_reduced(H, g, Hll, gl, W, masks, lam, cfg)

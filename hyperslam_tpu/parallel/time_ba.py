@@ -178,7 +178,14 @@ def time_partitioned_optimize(params: Params, cams: CameraCalib,
     # miscompiles jacrev of the spline chain when the local knots come from
     # a concatenate inside a shard_map body (wrong J, correct primal —
     # see SolverConfig.use_jacfwd and the repro notes there).
-    cfg = cfg.replace(use_jacfwd=True)
+    # bias-prior rows counted ONCE (outside the psum), not once per chip:
+    # every chip's slice has nonzero inertial capacity, so without the
+    # suppression the psum scales the bias prior by n_dev (r5 fix, see
+    # SolverConfig.include_bias_prior).
+    has_bias_prior = bool(
+        factors_td.inertial.s.shape[1] or
+        (factors_td.preint is not None and factors_td.preint.s_i.shape[1]))
+    cfg = cfg.replace(use_jacfwd=True, include_bias_prior=False)
     if halo is None:
         halo = order - 1
     assert Ks >= halo, (
@@ -259,14 +266,16 @@ def time_partitioned_optimize(params: Params, cams: CameraCalib,
 
     def cost_of(p, c, i):
         cost = cost_shard(p.knots, p, c, i, factors_sh)
-        return cost + ba.dense_prior_cost(p, c, i, marg, calib_prior)
+        return cost + ba.dense_prior_cost(p, c, i, marg, calib_prior, cfg,
+                                          has_bias_prior)
 
     def reduce_full(p, c, i):
         H, g, Hll, gl, W = reduce_shard(p.knots, p, c, i, factors_sh,
                                         masks.knots, masks)
-        if marg is not None or calib_prior is not None:
+        if marg is not None or calib_prior is not None or has_bias_prior:
             Ha, ga = ba.dense_prior_reduce(p, c, i, marg, calib_prior,
-                                           masks, cfg, H.dtype)
+                                           masks, cfg, H.dtype,
+                                           bias_prior=has_bias_prior)
             H = H + Ha
             g = g + ga
         return H, g, Hll, gl, W

@@ -697,7 +697,7 @@ def problem_layout(params: Params, cams: CameraCalib, masks: Masks) -> Layout:
 
 def dense_prior_reduce(params: Params, cams: CameraCalib, imu: ImuCalib,
                        marg, calib_prior, masks: Masks, cfg: SolverConfig,
-                       out_dtype):
+                       out_dtype, bias_prior: bool = False):
     """(H, g) contribution of the REPLICATED dense-row factors — the
     marginal prior (dense over the whole window, not banded in time) and
     the calibration anchor.  The sharded solvers (parallel/dist_ba.py,
@@ -725,11 +725,23 @@ def dense_prior_reduce(params: Params, cams: CameraCalib, imu: ImuCalib,
             r = sysc.r.astype(out_dtype)
             H = H + J.T @ J
             g = g + J.T @ r
+    if bias_prior:
+        # bias random-walk/anchor rows, counted ONCE here while every
+        # shard suppresses them (SolverConfig.include_bias_prior=False)
+        sysb = _linearize_bias_prior(params, cfg, lay)
+        if sysb is not None:
+            if cm is None:
+                cm = _col_mask(masks, lay, sysb.J.dtype)
+            J = (sysb.J * cm[None, :]).astype(out_dtype)
+            r = sysb.r.astype(out_dtype)
+            H = H + J.T @ J
+            g = g + J.T @ r
     return H, g
 
 
 def dense_prior_cost(params: Params, cams: CameraCalib, imu: ImuCalib,
-                     marg, calib_prior):
+                     marg, calib_prior, cfg: SolverConfig = None,
+                     bias_prior: bool = False):
     """Cost of the replicated dense-row factors (see dense_prior_reduce)."""
     cost = jnp.zeros((), _solve_dtype(params.knots.dtype))
     if marg is not None:
@@ -737,6 +749,8 @@ def dense_prior_cost(params: Params, cams: CameraCalib, imu: ImuCalib,
         cost = cost + 0.5 * marg.active * jnp.sum(rm * rm)
     if calib_prior is not None:
         cost = cost + 0.5 * _calib_prior_cost(cams, imu, calib_prior)
+    if bias_prior:
+        cost = cost + 0.5 * _bias_prior_cost(params, cfg)
     return cost
 
 
@@ -794,8 +808,11 @@ def _family_systems(params: Params, cams: CameraCalib, imu: ImuCalib,
         sysc = _calib_prior_rows(cams, imu, factors.calib_prior, cfg, lay)
         if sysc is not None:
             systems.append((sysc, False))
-    # bias evolution priors whenever IMU factors are in play
-    if (factors.inertial.s.shape[0] or
+    # bias evolution priors whenever IMU factors are in play (sharded
+    # callers suppress them here and add them once outside the psum —
+    # see SolverConfig.include_bias_prior)
+    if cfg.include_bias_prior and (
+            factors.inertial.s.shape[0] or
             (factors.preint is not None and factors.preint.s_i.shape[0])):
         sysb = _linearize_bias_prior(params, cfg, lay)
         if sysb is not None:
@@ -1144,7 +1161,8 @@ def compute_cost(params: Params, cams: CameraCalib, imu: ImuCalib,
     if factors.calib_prior is not None:
         total += _calib_prior_cost(cams, imu, factors.calib_prior)
 
-    if (factors.inertial.s.shape[0] or
+    if cfg.include_bias_prior and (
+            factors.inertial.s.shape[0] or
             (factors.preint is not None and factors.preint.s_i.shape[0])):
         total += _bias_prior_cost(params, cfg)
 

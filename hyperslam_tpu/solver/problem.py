@@ -443,6 +443,14 @@ class SolverConfig(struct.PyTreeNode):
                                                default=1.0 / 0.05)
     bias_abs_sqrt_info_a: float = struct.field(pytree_node=False,
                                                default=1.0 / 0.5)
+    # Whether THIS linearize/cost call contributes the bias-prior rows.
+    # The sharded solvers (parallel/{dist,time,condensed}_ba.py) set False
+    # inside the shard body and add the rows ONCE outside the psum via
+    # ba.dense_prior_reduce — otherwise every shard with a nonzero
+    # inertial/preint capacity adds them and the psum counts them
+    # n_devices times (found round 5: H bias blocks exactly 8x on the
+    # 8-device mesh, biasing sharded solves toward the bias prior).
+    include_bias_prior: bool = struct.field(pytree_node=False, default=True)
 
 
 class Layout(NamedTuple):

@@ -95,7 +95,8 @@ def _problem(n_dev=4, Ks=8, lm_per_chip=6, obs_per_lm=4, seed=5):
 
 
 def _check_parity(params, cams, imu, factors, masks, cfg, n_dev, halo=3,
-                  atol=1e-9):
+                  atol=2e-8):  # 2e-8: per-host codegen roundoff, see
+    # tests/test_time_ba.py:48 note; routing bugs show >=1e-5
     dt = jnp.asarray(0.1, jnp.float64)
     bdt = jnp.asarray(1.0, jnp.float64)
     K = params.num_knots
@@ -120,7 +121,7 @@ def _check_parity(params, cams, imu, factors, masks, cfg, n_dev, halo=3,
     np.testing.assert_allclose(np.asarray(p_c.landmarks),
                                np.asarray(p_ref.landmarks), atol=atol)
     np.testing.assert_allclose(np.asarray(st_c.final_cost),
-                               np.asarray(st_ref.final_cost), rtol=1e-9)
+                               np.asarray(st_ref.final_cost), rtol=1e-7)
 
     # multi-step condensed solve converges
     p_n, _, _, st_n = condensed_ba.condensed_optimize(

