@@ -415,6 +415,12 @@ class SolverConfig(struct.PyTreeNode):
     # primal; minimal repro in tools/diag_time_ba.py history — neither
     # stop_gradient nor optimization_barrier suppresses it, jacfwd does).
     use_jacfwd: bool = struct.field(pytree_node=False, default=False)
+    # Schur landmark elimination via the strict-f32 Pallas kernel
+    # (ops/schur.py) instead of XLA's default-precision einsum.  Off by
+    # default: the einsum (bf16-input MXU, f32 accumulate) measured ~150x
+    # faster at the bench envelope with ~1e-3 relative deviation that the
+    # damped, refinement-corrected solve absorbs — see ops/schur.py.
+    schur_pallas: bool = struct.field(pytree_node=False, default=False)
     # LM damping
     init_lambda: float = struct.field(pytree_node=False, default=1e-4)
     lambda_up: float = struct.field(pytree_node=False, default=10.0)
