@@ -20,12 +20,14 @@ shards=(
   # estimator-level end-to-end suites
   "tests/test_e2e.py tests/test_marginalization.py tests/test_calibration.py"
   "tests/test_rendered_pipeline.py tests/test_kitti.py tests/test_checkpoint.py"
+  "tests/test_euroc_gate.py"
   # everything else (unit-level)
   "tests/ --ignore=tests/test_time_ba.py --ignore=tests/test_distributed.py \
    --ignore=tests/test_condensed.py --ignore=tests/test_multihost.py \
    --ignore=tests/test_e2e.py --ignore=tests/test_marginalization.py \
    --ignore=tests/test_calibration.py --ignore=tests/test_rendered_pipeline.py \
-   --ignore=tests/test_kitti.py --ignore=tests/test_checkpoint.py"
+   --ignore=tests/test_kitti.py --ignore=tests/test_checkpoint.py \
+   --ignore=tests/test_euroc_gate.py"
 )
 
 total_fail=0
